@@ -1,0 +1,40 @@
+"""agglomerationmultigrid1d_tpu — a TPU-native agglomeration-multigrid framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference
+``mheinz757/AgglomerationMultigrid1D`` (pure-Julia, serial): high-order CG / DG /
+agglomerated-DG discretizations of the 1D Poisson problem, inter-level transfer
+operators, Jacobi / block-Jacobi / Schwarz smoothers, Galerkin coarse operators and a
+multigrid V-cycle solver — all expressed as batched dense block tensors in a
+structure-of-arrays layout (element axis on TPU lanes) instead of general sparse
+matrices.
+
+Design notes
+------------
+* Every operator in the 1D problem family is (block-)banded with a uniform block
+  size (reference: ``src/dg_mesh.jl``, ``src/block_diagonal.jl``).  We therefore use
+  three core operator formats (`ops`):
+    - ``BlockDiag``     blocks ``(bs, bs, n)``           (mass matrices)
+    - ``BlockTridiag``  diagonals ``3 x (bs, bs, n)``    (DG/agg G, D, C, A)
+    - ``CgOperator``    overlapping element windows ``(n_el, p+1, p+1)`` plus the
+      assembled scalar DIA band ``(2p+1, n_nodes)``      (CG mass/stiffness)
+  The trailing axis is the element/node axis — it maps onto the TPU's 128-wide
+  vector lanes, so block matvecs and smoother sweeps become bandwidth-optimal
+  VPU loops rather than tiny (<= 9x9) MXU matmuls.
+* Double precision is enabled by default for numerical parity with the reference
+  (tolerances down to 1e-10 relative residuals).  Set
+  ``AGGMG_NO_X64=1`` before import to keep JAX's default f32.
+* Multi-chip scaling lives in `parallel`: element-axis domain decomposition via
+  ``jax.sharding.Mesh`` + ``shard_map``, one-block halo exchange with
+  ``lax.ppermute``, ``psum`` norms, and replicated coarse solves.
+"""
+
+import os as _os
+
+if not _os.environ.get("AGGMG_NO_X64"):
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+
+from . import numerics, mesh, ops, assembly, transfer, smoothers, models, parallel, utils  # noqa: E402,F401
+
+__version__ = "0.1.0"

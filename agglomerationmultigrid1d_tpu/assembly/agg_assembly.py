@@ -1,0 +1,124 @@
+"""Agglomerated-DG flux operator and rhs assembly.
+
+Counterpart of ``src/agglomerated_dg_mesh.jl:641-994``.  Identical flux scheme
+to the DG level, but vertex terms are rank-1 outer products of the boundary
+modal-basis value vectors (``mBdBasisGQFunVal``) and the volume term integrates
+base element by base element.  With contiguous uniform agglomerates everything
+reduces to batched einsums and boundary-column edits on (bs, bs, m) diagonals.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.agg_mesh import AggMesh
+from ..mesh.topology import BoundaryCondition
+from ..ops.block_tridiag import BlockTridiag
+
+
+def agg_flux_operators(
+    agg: AggMesh, bc: BoundaryCondition, c_dir: float
+) -> tuple[BlockTridiag, BlockTridiag, BlockTridiag]:
+    """(G, D, C) over agglomerates (cf. ``agglomerated_dg_mesh.jl:641-873``)."""
+    m = agg.n_agg
+    bs = agg.block_size
+    jacs = agg.base_jacobians()  # (m, r)
+
+    # volume:  temp[i, j] = deriv_i * integral of phi_j over the agglomerate
+    q = np.einsum("cs,l,cslj->cj", jacs, agg.quad_weights, agg.basis_q)  # (m, bs)
+    vol = np.einsum("ci,cj->ijc", agg.deriv_vals, q)  # (bs, bs, m)
+
+    bl = jnp.asarray(agg.bd_left)  # (m, bs)
+    br = jnp.asarray(agg.bd_right)
+
+    g_diag = jnp.asarray(vol)
+    d_diag = jnp.asarray(vol)
+    zero = jnp.zeros((bs, bs, m), dtype=g_diag.dtype)
+    g_lower, d_upper, c_diag = zero, zero, zero
+
+    # interior vertices between agglomerates c (left) and c+1 (right):
+    # u-hat = left agglomerate's right-boundary trace, q-hat = right's left trace
+    if m > 1:
+        g_lower = g_lower.at[:, :, 1:].add(jnp.einsum("ci,cj->ijc", bl[1:], br[:-1]))
+        g_diag = g_diag.at[:, :, :-1].add(-jnp.einsum("ci,cj->ijc", br[:-1], br[:-1]))
+        d_diag = d_diag.at[:, :, 1:].add(jnp.einsum("ci,cj->ijc", bl[1:], bl[1:]))
+        d_upper = d_upper.at[:, :, :-1].add(-jnp.einsum("ci,cj->ijc", br[:-1], bl[1:]))
+
+    bl0 = jnp.outer(bl[0], bl[0])
+    brn = jnp.outer(br[-1], br[-1])
+    if bc.dir_left:
+        d_diag = d_diag.at[:, :, 0].add(bl0)
+        c_diag = c_diag.at[:, :, 0].add(c_dir * bl0)
+    elif bc.neu_left:
+        g_diag = g_diag.at[:, :, 0].add(bl0)
+    if bc.dir_right:
+        d_diag = d_diag.at[:, :, -1].add(-brn)
+        c_diag = c_diag.at[:, :, -1].add(c_dir * brn)
+    elif bc.neu_right:
+        g_diag = g_diag.at[:, :, -1].add(-brn)
+
+    g = BlockTridiag(lower=g_lower, diag=g_diag, upper=zero)
+    d = BlockTridiag(lower=zero, diag=d_diag, upper=d_upper)
+    c = BlockTridiag(lower=zero, diag=c_diag, upper=zero)
+    return g, d, c
+
+
+def agg_load_vector(agg: AggMesh, func: Callable) -> jax.Array:
+    """Volume load  f[i, c] = sum_s J_cs sum_l w_l phi_i(x_csl) f(x_csl)."""
+    jacs = jnp.asarray(agg.base_jacobians())
+    return jnp.einsum(
+        "cs,l,csli,csl->ic",
+        jacs,
+        jnp.asarray(agg.quad_weights),
+        jnp.asarray(agg.basis_q),
+        func(jnp.asarray(agg.x_quad)),
+    )
+
+
+def agg_flux_rhs(
+    agg: AggMesh, func: Callable, bc: BoundaryCondition, c_dir: float
+) -> tuple[jax.Array, jax.Array]:
+    """(f, r) right-hand sides (cf. ``agglomerated_dg_mesh.jl:875-994``)."""
+    f = agg_load_vector(agg, func)
+    r = jnp.zeros_like(f)
+    bl0 = jnp.asarray(agg.bd_left[0])
+    brn = jnp.asarray(agg.bd_right[-1])
+
+    if bc.dir_left:
+        g = bc.left[1]
+        f = f.at[:, 0].add(c_dir * g * bl0)
+        r = r.at[:, 0].add(-g * bl0)
+    elif bc.neu_left:
+        f = f.at[:, 0].add(-bc.left[1] * bl0)
+    if bc.dir_right:
+        g = bc.right[1]
+        f = f.at[:, -1].add(c_dir * g * brn)
+        r = r.at[:, -1].add(g * brn)
+    elif bc.neu_right:
+        f = f.at[:, -1].add(bc.right[1] * brn)
+    return f, r
+
+
+# -- standalone single-operator variants (cf. agglomerated_dg_mesh.jl:1012-1381) --
+
+
+def agg_gradient(agg: AggMesh, bc: BoundaryCondition) -> BlockTridiag:
+    g, _, _ = agg_flux_operators(agg, bc, 0.0)
+    return g
+
+
+def agg_divergence(agg: AggMesh, bc: BoundaryCondition) -> BlockTridiag:
+    _, d, _ = agg_flux_operators(agg, bc, 0.0)
+    return d
+
+
+def agg_c_matrix(agg: AggMesh, bc: BoundaryCondition, c_dir: float) -> BlockTridiag:
+    """Penalty matrix alone.  (The reference's standalone p=0 ``C_matrix`` has a
+    dead-code typo, ``agglomerated_dg_mesh.jl:1362``; this version is simply the
+    C factor of :func:`agg_flux_operators`, which the hierarchy actually uses.)"""
+    _, _, c = agg_flux_operators(agg, bc, c_dir)
+    return c

@@ -1,0 +1,147 @@
+"""DG first-order-system ("flux") operator and rhs assembly.
+
+Counterpart of ``src/dg_mesh.jl:144-457``.  The LDG-with-penalty scheme builds
+three operators over element blocks — G (gradient), D (divergence), C (Dirichlet
+penalty) — and the Schur stiffness is formed by the caller as
+``A = C - D M^-1 G`` (cf. ``mesh_heirarchy.jl:71-72``).
+
+Structure in 1D (uniform upwinding u-hat = u_left, q-hat = q_right):
+
+* volume term  K[i,j] = sum_l w_l phi'_i phi_j  on every diagonal block of G, D
+  (jacobians cancel in 1D, ``dg_mesh.jl:157-160``);
+* every interior vertex contributes 4 scalar entries — two diagonal, one on G's
+  lower block diagonal, one on D's upper block diagonal
+  (``dg_mesh.jl:230-247``);
+* Dirichlet/Neumann ends touch a single scalar entry each
+  (``dg_mesh.jl:181-215``).
+
+Everything is therefore pure slicing on the (bs, bs, n) diagonals — no scatter.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.dg_mesh import DgMesh
+from ..mesh.topology import BoundaryCondition
+from ..ops.block_tridiag import BlockTridiag, bt_zeros
+
+
+def _volume_ref(dg: DgMesh) -> np.ndarray:
+    ref = dg.ref
+    return np.einsum("l,li,lj->ij", ref.quad_weights, ref.deriv_at_quad, ref.basis_at_quad)
+
+
+def dg_flux_operators(
+    dg: DgMesh, bc: BoundaryCondition, c_dir: float
+) -> tuple[BlockTridiag, BlockTridiag, BlockTridiag]:
+    """(G, D, C) block-tridiagonal operators (cf. ``dg_mesh.jl:144-336``)."""
+    p = dg.p
+    bs = p + 1
+    n = dg.n_elements
+    dtype = dg.mass.blocks.dtype
+    s1 = 1 if p >= 1 else 0  # slot of the right endpoint value
+
+    zero = jnp.zeros((bs, bs, n), dtype=dtype)
+    g_lower, g_diag = zero, zero
+    d_diag, d_upper = zero, zero
+    c_diag = zero
+
+    if p >= 1:
+        k_vol = jnp.asarray(_volume_ref(dg), dtype=dtype)
+        g_diag = g_diag + k_vol[:, :, None]
+        d_diag = d_diag + k_vol[:, :, None]
+
+    # interior vertices: u-hat from the left element (its right-endpoint slot),
+    # q-hat from the right element (its left-endpoint slot)
+    if n > 1:
+        g_lower = g_lower.at[0, s1, 1:].add(1.0)
+        g_diag = g_diag.at[s1, s1, :-1].add(-1.0)
+        d_diag = d_diag.at[0, 0, 1:].add(1.0)
+        d_upper = d_upper.at[s1, 0, :-1].add(-1.0)
+
+    # domain boundary vertices
+    if bc.dir_left:
+        d_diag = d_diag.at[0, 0, 0].add(1.0)
+        c_diag = c_diag.at[0, 0, 0].add(c_dir)
+    elif bc.neu_left:
+        g_diag = g_diag.at[0, 0, 0].add(1.0)
+    if bc.dir_right:
+        d_diag = d_diag.at[s1, s1, -1].add(-1.0)
+        c_diag = c_diag.at[s1, s1, -1].add(c_dir)
+    elif bc.neu_right:
+        g_diag = g_diag.at[s1, s1, -1].add(-1.0)
+
+    g = BlockTridiag(lower=g_lower, diag=g_diag, upper=zero)
+    d = BlockTridiag(lower=zero, diag=d_diag, upper=d_upper)
+    c = BlockTridiag(lower=zero, diag=c_diag, upper=zero)
+    return g, d, c
+
+
+def dg_load_vector(dg: DgMesh, func: Callable) -> jax.Array:
+    """Volume load  f[i, k] = J_k sum_l w_l phi_i f(x_kl)  as ``(bs, n)``."""
+    ref = dg.ref
+    jac = jnp.asarray(dg.mesh.jacobians)
+    xq = jnp.asarray(dg.mesh.centers)[:, None] + jac[:, None] * jnp.asarray(ref.quad_nodes)[None, :]
+    return jnp.einsum(
+        "k,l,li,kl->ik", jac, jnp.asarray(ref.quad_weights), jnp.asarray(ref.basis_at_quad), func(xq)
+    )
+
+
+def dg_flux_rhs(
+    dg: DgMesh, func: Callable, bc: BoundaryCondition, c_dir: float
+) -> tuple[jax.Array, jax.Array]:
+    """(f, r) right-hand sides (cf. ``dg_mesh.jl:342-457``).
+
+    The solved system's rhs is formed by the caller as ``b = f - D M^-1 r``.
+    """
+    p = dg.p
+    s1 = 1 if p >= 1 else 0
+    f = dg_load_vector(dg, func)
+    r = jnp.zeros_like(f)
+
+    if bc.dir_left:
+        g = bc.left[1]
+        f = f.at[0, 0].add(c_dir * g)
+        r = r.at[0, 0].add(-g)
+    elif bc.neu_left:
+        f = f.at[0, 0].add(-bc.left[1])
+    if bc.dir_right:
+        g = bc.right[1]
+        f = f.at[s1, -1].add(c_dir * g)
+        r = r.at[s1, -1].add(g)
+    elif bc.neu_right:
+        f = f.at[s1, -1].add(bc.right[1])
+    return f, r
+
+
+# -- standalone single-operator variants (kept equivalent, cf. dg_mesh.jl:474-943) --
+
+
+def gradient(dg: DgMesh, bc: BoundaryCondition) -> BlockTridiag:
+    g, _, _ = dg_flux_operators(dg, bc, 0.0)
+    return g
+
+
+def divergence(dg: DgMesh, bc: BoundaryCondition) -> BlockTridiag:
+    _, d, _ = dg_flux_operators(dg, bc, 0.0)
+    return d
+
+
+def c_matrix(dg: DgMesh, bc: BoundaryCondition, c_dir: float) -> BlockTridiag:
+    _, _, c = dg_flux_operators(dg, bc, c_dir)
+    return c
+
+
+def r_vector(dg: DgMesh, bc: BoundaryCondition) -> jax.Array:
+    _, r = dg_flux_rhs(dg, lambda x: jnp.zeros_like(x), bc, 0.0)
+    return r
+
+
+def f_vector(dg: DgMesh, func: Callable, bc: BoundaryCondition, c_dir: float) -> jax.Array:
+    f, _ = dg_flux_rhs(dg, func, bc, c_dir)
+    return f

@@ -1,0 +1,25 @@
+from .topology import (
+    DIRICHLET,
+    NEUMANN,
+    BoundaryCondition,
+    Mesh1D,
+    create_uniform_mesh,
+)
+from .cg_mesh import CgMesh, make_cg_mesh
+from .dg_mesh import DgMesh, make_dg_mesh
+from .agg_mesh import AggMesh, coarsen_agg_mesh, make_agg_mesh
+
+__all__ = [
+    "DIRICHLET",
+    "NEUMANN",
+    "BoundaryCondition",
+    "Mesh1D",
+    "create_uniform_mesh",
+    "CgMesh",
+    "make_cg_mesh",
+    "DgMesh",
+    "make_dg_mesh",
+    "AggMesh",
+    "make_agg_mesh",
+    "coarsen_agg_mesh",
+]

@@ -1,0 +1,59 @@
+"""Discontinuous-Galerkin discretization mesh (order-p nodal, element-contiguous).
+
+TPU-native counterpart of ``src/dg_mesh.jl:16-138``.  DoFs keep the reference's
+*slot* ordering inside each element (slot 0 = left endpoint, slot 1 = right
+endpoint, slots 2..p = interior Chebyshev nodes in descending x,
+``dg_mesh.jl:41-46``), and element k owns the contiguous block ``k*(p+1) ..``;
+vectors are stored as ``(p+1, n)`` with the element axis on TPU lanes.
+
+The per-vertex "switch function" (``dg_mesh.jl:81-109``) resolves — due to both
+branches of the interior case reading ``vert.mFaces[1]`` — to the deterministic
+rule "u-hat from the LEFT element, q-hat from the RIGHT element" at every
+interior vertex; we implement that rule directly (SURVEY §7 quirk (a)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..numerics import make_reference_element
+from ..ops.block_diag import BlockDiag, bd_inverse
+from .topology import Mesh1D
+
+
+@dataclasses.dataclass(frozen=True)
+class DgMesh:
+    p: int
+    mesh: Mesh1D
+    ref: "object"  # ReferenceElement
+    mass: BlockDiag  # (p+1, p+1, n): J_k * reference mass per element
+    mass_inv: BlockDiag
+
+    @property
+    def n_elements(self) -> int:
+        return self.mesh.n_elements
+
+    @property
+    def block_size(self) -> int:
+        return self.p + 1
+
+    @property
+    def n_nodes(self) -> int:
+        return self.n_elements * (self.p + 1)
+
+    def node_x(self) -> np.ndarray:
+        """Coordinates per (slot, element), shape ``(p+1, n)``."""
+        return self.mesh.ref_map(
+            np.arange(self.n_elements)[None, :], self.ref.nodes_x[:, None]
+        )
+
+
+def make_dg_mesh(mesh: Mesh1D, p: int) -> DgMesh:
+    ref = make_reference_element(p)
+    jac = jnp.asarray(mesh.jacobians)
+    blocks = jnp.asarray(ref.mass)[:, :, None] * jac[None, None, :]
+    mass = BlockDiag(blocks)
+    return DgMesh(p=p, mesh=mesh, ref=ref, mass=mass, mass_inv=bd_inverse(mass))

@@ -1,0 +1,213 @@
+"""Multigrid hierarchy construction (counterpart of ``src/mesh_heirarchy.jl``).
+
+Two constructors mirroring the reference:
+
+* :func:`build_hierarchy` — CG-topped (``mesh_heirarchy.jl:30-138``): a chain of
+  CG p-coarsening levels (Galerkin stiffness, pointwise Jacobi), an optional DG
+  seam + DG p-coarsening chain, then agglomerated h-coarsening levels.  DG/agg
+  levels Galerkin-project G, D, C *separately* and recombine with the coarse
+  level's own mass, ``A = C - D M^-1 G`` (``:79-84`` — NOT a direct triple
+  product of A).
+* :func:`build_dg_hierarchy` — DG-topped (``mesh_heirarchy.jl:140-181``).
+
+The result is a JAX pytree; the V-cycle in ``.solvers`` traces over it with a
+static level structure.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..assembly.agg_assembly import agg_flux_operators
+from ..assembly.dg_assembly import dg_flux_operators
+from ..mesh.agg_mesh import AggMesh
+from ..mesh.cg_mesh import CgMesh
+from ..mesh.dg_mesh import DgMesh
+from ..mesh.topology import BoundaryCondition
+from ..ops.block_diag import BlockDiag
+from ..ops.block_tridiag import BlockTridiag, bd_mul_bt, bt_mul_bt, bt_sub, bt_to_dense
+from ..ops.cg_operator import CgOperator, cg_to_dense
+from ..ops.coarse_solve import CoarseSolver, make_coarse_solver
+from ..ops.transfer_ops import (
+    BlockProlong,
+    CgProlong,
+    SeamProlong,
+    bp_galerkin,
+    cgp_galerkin,
+)
+from ..smoothers.smoother import Smoother, cg_smoother, dg_smoother
+from ..transfer.interpolation import (
+    aggdg_aggdg_interpolation,
+    aggdg_cg_interpolation,
+    aggdg_dg_interpolation,
+    cg_cg_interpolation,
+    dg_cg_interpolation,
+    dg_dg_interpolation,
+)
+
+Transfer = Union[CgProlong, BlockProlong, SeamProlong]
+
+
+class CgLevel(NamedTuple):
+    a: CgOperator
+    smoother: Smoother
+
+
+class BlockLevel(NamedTuple):
+    a: BlockTridiag
+    g: BlockTridiag
+    d: BlockTridiag
+    c: BlockTridiag
+    mass_inv: jax.Array  # (bs, bs, n) of the level's own mass
+    smoother: Smoother
+
+
+Level = Union[CgLevel, BlockLevel]
+
+
+class Hierarchy(NamedTuple):
+    levels: tuple  # of Level, fine -> coarse
+    transfers: tuple  # of Transfer, len = n_levels - 1
+    coarse: CoarseSolver  # host-factorized dense solver for the coarsest level
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels)
+
+
+def _schur_stiffness(
+    g: BlockTridiag, d: BlockTridiag, c: BlockTridiag, mass_inv: BlockDiag
+) -> BlockTridiag:
+    """``A = C - D (M^-1 G)`` — the load-bearing factorization of the scheme
+    (``mesh_heirarchy.jl:71-72``, ``tests/dg_convergence_test.jl:33``)."""
+    return bt_sub(c, bt_mul_bt(d, bd_mul_bt(mass_inv, g)))
+
+
+def _block_level(
+    g: BlockTridiag, d: BlockTridiag, c: BlockTridiag, mass_inv: BlockDiag
+) -> BlockLevel:
+    a = _schur_stiffness(g, d, c, mass_inv)
+    return BlockLevel(
+        a=a, g=g, d=d, c=c, mass_inv=mass_inv.blocks, smoother=dg_smoother(a, "blockJac")
+    )
+
+
+def _coarse_lu(level: Level) -> CoarseSolver:
+    if isinstance(level, CgLevel):
+        return make_coarse_solver(cg_to_dense(level.a))
+    return make_coarse_solver(bt_to_dense(level.a))
+
+
+def build_hierarchy(
+    meshes: list,
+    bc: BoundaryCondition,
+    a_fine: CgOperator,
+    *,
+    c_dir: float = 1.0,
+    cg_smoother_kind: str = "jac",
+) -> Hierarchy:
+    """CG-topped hierarchy from a fine->coarse list of CgMesh / DgMesh / AggMesh.
+
+    Level counts (nCG / nDG / nAgg in the reference) are inferred from the mesh
+    types; the list must be CG+ [DG*] [Agg*] in that order.
+    """
+    n_levels = len(meshes)
+    if not isinstance(meshes[0], CgMesh):
+        raise ValueError("at least one CG mesh required at the top")
+
+    levels: list[Level] = [CgLevel(a=a_fine, smoother=cg_smoother(a_fine, cg_smoother_kind))]
+    transfers: list[Transfer] = []
+
+    for i in range(1, n_levels):
+        fine_mesh, mesh = meshes[i - 1], meshes[i]
+        prev = levels[-1]
+
+        if isinstance(mesh, CgMesh):
+            if not isinstance(fine_mesh, CgMesh):
+                raise ValueError("CG level below a non-CG level")
+            l = cg_cg_interpolation(mesh, fine_mesh)
+            a = cgp_galerkin(l, prev.a)
+            levels.append(CgLevel(a=a, smoother=cg_smoother(a, cg_smoother_kind)))
+            transfers.append(l)
+
+        elif isinstance(mesh, DgMesh):
+            if isinstance(fine_mesh, CgMesh):
+                # CG -> DG seam: lumped-mass transfer + direct flux assembly
+                l = dg_cg_interpolation(mesh, fine_mesh, 1)
+                g, d, c = dg_flux_operators(mesh, bc, c_dir)
+            elif isinstance(fine_mesh, DgMesh):
+                l = dg_dg_interpolation(mesh, fine_mesh)
+                g = bp_galerkin(l, prev.g)
+                d = bp_galerkin(l, prev.d)
+                c = bp_galerkin(l, prev.c)
+            else:
+                raise ValueError("DG level below an agglomerated level")
+            levels.append(_block_level(g, d, c, mesh.mass_inv))
+            transfers.append(l)
+
+        elif isinstance(mesh, AggMesh):
+            if isinstance(fine_mesh, CgMesh):
+                # CG -> agg seam (nDG == 0 path, mesh_heirarchy.jl:108-117)
+                l = aggdg_cg_interpolation(mesh, fine_mesh, 1)
+                g, d, c = agg_flux_operators(mesh, bc, c_dir)
+            elif isinstance(fine_mesh, DgMesh):
+                l = aggdg_dg_interpolation(mesh, fine_mesh)
+                g = bp_galerkin(l, prev.g)
+                d = bp_galerkin(l, prev.d)
+                c = bp_galerkin(l, prev.c)
+            else:
+                l = aggdg_aggdg_interpolation(mesh, fine_mesh)
+                g = bp_galerkin(l, prev.g)
+                d = bp_galerkin(l, prev.d)
+                c = bp_galerkin(l, prev.c)
+            levels.append(_block_level(g, d, c, mesh.mass_inv))
+            transfers.append(l)
+        else:
+            raise TypeError(f"unknown mesh type {type(mesh)}")
+
+    return Hierarchy(
+        levels=tuple(levels), transfers=tuple(transfers), coarse=_coarse_lu(levels[-1])
+    )
+
+
+def build_dg_hierarchy(
+    meshes: list,
+    a: BlockTridiag,
+    g: BlockTridiag,
+    d: BlockTridiag,
+    c: BlockTridiag,
+) -> Hierarchy:
+    """DG-topped hierarchy (``mesh_heirarchy.jl:140-181``): finest operators given."""
+    if not isinstance(meshes[0], DgMesh):
+        raise ValueError("at least one DG mesh required at the top")
+    levels: list[Level] = [
+        BlockLevel(
+            a=a, g=g, d=d, c=c, mass_inv=meshes[0].mass_inv.blocks,
+            smoother=dg_smoother(a, "blockJac"),
+        )
+    ]
+    transfers: list[Transfer] = []
+    for i in range(1, len(meshes)):
+        fine_mesh, mesh = meshes[i - 1], meshes[i]
+        prev = levels[-1]
+        if isinstance(mesh, DgMesh):
+            l = dg_dg_interpolation(mesh, fine_mesh)
+        elif isinstance(mesh, AggMesh):
+            if isinstance(fine_mesh, DgMesh):
+                l = aggdg_dg_interpolation(mesh, fine_mesh)
+            else:
+                l = aggdg_aggdg_interpolation(mesh, fine_mesh)
+        else:
+            raise TypeError("DG-topped hierarchies take DG/Agg meshes only")
+        gc = bp_galerkin(l, prev.g)
+        dc = bp_galerkin(l, prev.d)
+        cc = bp_galerkin(l, prev.c)
+        levels.append(_block_level(gc, dc, cc, mesh.mass_inv))
+        transfers.append(l)
+
+    return Hierarchy(
+        levels=tuple(levels), transfers=tuple(transfers), coarse=_coarse_lu(levels[-1])
+    )

@@ -1,0 +1,206 @@
+"""Structured prolongation operators (coarse -> fine) and their transposes.
+
+The reference stores every inter-level transfer as a general sparse matrix
+(``src/interpolation.jl``); here each of the three structural families gets a
+dense batched representation with closed-form restriction (L^T v) and — where
+the hierarchy needs it — a Galerkin triple product L^T X L that stays inside the
+operator formats of this package:
+
+* :class:`BlockProlong` — block-aligned transfers between (block-)element levels:
+  DG->DG p-coarsening (r = 1), DG/CG-base -> agglomerated (r = 2 or 4), and
+  agg -> agg (r = 2).  Fine block ``r*c + j`` receives coarse block ``c`` through
+  ``blocks[j][:, :, c]``.
+* :class:`CgProlong` — CG -> CG p-coarsening.  One constant matrix ``E`` (coarse
+  nodal basis evaluated at fine nodes, grid order) applied per element with
+  overlap-consistent assignment semantics, exactly reproducing the reference's
+  two-pass duplicate-avoiding build (``src/interpolation.jl:14-52``).
+* :class:`SeamProlong` — the CG <-> DG/agg seam (lumped-mass L2 projection,
+  ``interpolation.jl:210-217``): ``L = diag(lump)^-1 N`` with ``N`` kept in
+  unassembled per-base-element windows.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .block_tridiag import BlockTridiag
+from .cg_operator import CgOperator, cg_from_windows
+from .shifts import shift
+
+
+# ---------------------------------------------------------------------------
+# BlockProlong
+# ---------------------------------------------------------------------------
+
+
+class BlockProlong(NamedTuple):
+    blocks: jax.Array  # (r, bs_f, bs_c, n_c)
+
+    @property
+    def r(self) -> int:
+        return self.blocks.shape[0]
+
+    @property
+    def bs_fine(self) -> int:
+        return self.blocks.shape[1]
+
+    @property
+    def bs_coarse(self) -> int:
+        return self.blocks.shape[2]
+
+    @property
+    def n_coarse(self) -> int:
+        return self.blocks.shape[3]
+
+
+def block_prolong_constant(e: jax.Array, n: int) -> BlockProlong:
+    """r = 1 prolongation with the same ``(bs_f, bs_c)`` matrix on every element."""
+    return BlockProlong(jnp.broadcast_to(jnp.asarray(e)[None, :, :, None], (1, *e.shape, n)))
+
+
+def bp_prolong(l: BlockProlong, xc: jax.Array) -> jax.Array:
+    """``(bs_c, n_c) -> (bs_f, r * n_c)``."""
+    out = jnp.einsum("jibn,bn->inj", l.blocks, xc)  # (bs_f, n_c, r)
+    return out.reshape(l.bs_fine, l.n_coarse * l.r)
+
+
+def bp_restrict(l: BlockProlong, rf: jax.Array) -> jax.Array:
+    """``L^T rf``: ``(bs_f, r * n_c) -> (bs_c, n_c)``."""
+    rg = rf.reshape(l.bs_fine, l.n_coarse, l.r)
+    return jnp.einsum("jibn,inj->bn", l.blocks, rg)
+
+
+def _sandwich(ba: jax.Array, m: jax.Array, bb: jax.Array) -> jax.Array:
+    """``Ba^T M Bb`` per element: (bs_f,bs_c,n),(bs_f,bs_f,n),(bs_f,bs_c,n)->(bs_c,bs_c,n)."""
+    return jnp.einsum("fan,fgn,gbn->abn", ba, m, bb)
+
+
+def bp_galerkin(l: BlockProlong, x: BlockTridiag) -> BlockTridiag:
+    """``L^T X L`` for block-tridiagonal fine X; result is coarse block-tridiagonal.
+
+    Fine blocks ``r*c + j`` map to coarse block ``c``; since ``r >= 1`` and X only
+    couples +-1 fine neighbors, the coarse result couples only +-1 coarse
+    neighbors (through the boundary fine blocks of each group).
+    """
+    r, nc = l.r, l.n_coarse
+    bs = x.block_size
+    dg = x.diag.reshape(bs, bs, nc, r)
+    lg = x.lower.reshape(bs, bs, nc, r)
+    ug = x.upper.reshape(bs, bs, nc, r)
+    b = l.blocks
+
+    diag = _sandwich(b[0], dg[..., 0], b[0])
+    for j in range(1, r):
+        diag = diag + _sandwich(b[j], dg[..., j], b[j])
+    for j in range(r - 1):
+        diag = diag + _sandwich(b[j + 1], lg[..., j + 1], b[j])
+        diag = diag + _sandwich(b[j], ug[..., j], b[j + 1])
+
+    upper = _sandwich(b[r - 1], ug[..., r - 1], shift(b[0], +1))
+    lower = _sandwich(b[0], lg[..., 0], shift(b[r - 1], -1))
+    return BlockTridiag(lower=lower, diag=diag, upper=upper)
+
+
+# ---------------------------------------------------------------------------
+# CgProlong
+# ---------------------------------------------------------------------------
+
+
+class CgProlong(NamedTuple):
+    e: jax.Array  # (w_f, w_c) coarse nodal basis at fine nodes, grid order
+
+    @property
+    def p_fine(self) -> int:
+        return self.e.shape[0] - 1
+
+    @property
+    def p_coarse(self) -> int:
+        return self.e.shape[1] - 1
+
+
+def _gather_windows(x: jax.Array, p: int, n_el: int) -> jax.Array:
+    """``out[a, k] = x[k * p + a]`` for a in 0..p."""
+    idx = p * jnp.arange(n_el)[None, :] + jnp.arange(p + 1)[:, None]
+    return x[idx]
+
+
+def cgp_prolong(l: CgProlong, xc: jax.Array) -> jax.Array:
+    n_el = (xc.shape[0] - 1) // l.p_coarse
+    xc_win = _gather_windows(xc, l.p_coarse, n_el)  # (w_c, n_el)
+    out_win = l.e @ xc_win  # (w_f, n_el)
+    # deterministic overlap-consistent assembly: node 0, then positions 1..p_f of
+    # every element left to right (shared vertices agree between neighbors).
+    return jnp.concatenate([out_win[0, :1], out_win[1:, :].T.reshape(-1)])
+
+
+def cgp_restrict(l: CgProlong, rf: jax.Array) -> jax.Array:
+    """``L^T rf`` — each fine row of L appears in exactly one element window once
+    row 0 is masked (the right endpoint row of window k carries vertex k+1)."""
+    p_f, p_c = l.p_fine, l.p_coarse
+    n_el = (rf.shape[0] - 1) // p_f
+    rf_win = _gather_windows(rf, p_f, n_el)
+    rf_win = rf_win.at[0, :].set(0.0)
+    rc_win = l.e.T @ rf_win  # (w_c, n_el)
+    rc = jnp.zeros((n_el * p_c + 1,), dtype=rf.dtype)
+    idx = p_c * jnp.arange(n_el)[None, :] + jnp.arange(p_c + 1)[:, None]
+    rc = rc.at[idx].add(rc_win)
+    return rc.at[0].add(rf[0])
+
+
+def cgp_galerkin(l: CgProlong, a: CgOperator) -> CgOperator:
+    """Window-level Galerkin ``L^T A L``; exact because the fine-row restriction of
+    L to element k equals ``E`` on coarse window k (see ``ops.cg_operator``)."""
+    coarse_windows = jnp.einsum("ac,abn,bd->cdn", l.e, a.windows, l.e)
+    return cg_from_windows(coarse_windows)
+
+
+# ---------------------------------------------------------------------------
+# SeamProlong (CG fine level <-> DG/agg coarse level)
+# ---------------------------------------------------------------------------
+
+
+class SeamProlong(NamedTuple):
+    n_win: jax.Array  # (w_cg, bs, r, n_c): cross-mass windows, base el e = c*r + j
+    inv_lump: jax.Array  # (n_cg_nodes,) inverse lumped CG mass
+
+    @property
+    def w_cg(self) -> int:
+        return self.n_win.shape[0]
+
+    @property
+    def bs_coarse(self) -> int:
+        return self.n_win.shape[1]
+
+    @property
+    def r(self) -> int:
+        return self.n_win.shape[2]
+
+    @property
+    def n_coarse(self) -> int:
+        return self.n_win.shape[3]
+
+
+def _seam_indices(l: SeamProlong) -> jax.Array:
+    p_cg = l.w_cg - 1
+    c = jnp.arange(l.n_coarse)[None, None, :]
+    j = jnp.arange(l.r)[None, :, None]
+    a = jnp.arange(l.w_cg)[:, None, None]
+    return (c * l.r + j) * p_cg + a  # (w_cg, r, n_c)
+
+
+def seam_prolong(l: SeamProlong, xc: jax.Array) -> jax.Array:
+    """``(bs, n_c) -> (n_cg_nodes,)`` : ``diag(lump)^-1 N xc``."""
+    contrib = jnp.einsum("amjc,mc->ajc", l.n_win, xc)  # (w_cg, r, n_c)
+    out = jnp.zeros_like(l.inv_lump)
+    out = out.at[_seam_indices(l)].add(contrib)
+    return l.inv_lump * out
+
+
+def seam_restrict(l: SeamProlong, rf: jax.Array) -> jax.Array:
+    """``L^T rf = N^T diag(lump)^-1 rf`` : ``(n_cg_nodes,) -> (bs, n_c)``."""
+    z = l.inv_lump * rf
+    z_win = z[_seam_indices(l)]  # (w_cg, r, n_c)
+    return jnp.einsum("amjc,ajc->mc", l.n_win, z_win)

@@ -1,0 +1,106 @@
+"""Smoothers, applied as  x += alpha * S * r  (counterpart of ``src/smoother.jl``).
+
+Four smoother families, all batched:
+
+* :class:`JacobiSmoother`      — pointwise diagonal scaling (``smoother.jl:52-58``);
+  works on both CG node vectors ``(n_nodes,)`` and block vectors ``(bs, n)``.
+* :class:`BlockJacobiSmoother` — per-element block solve on DG/agg levels
+  (``smoother.jl:64-81``); the per-block LU backsolves of the reference become
+  one batched matmul with precomputed block inverses.
+* :class:`SchwarzSmoother`     — overlapping element-block solves on CG levels:
+  additive (overlaps summed, ``smoother.jl:1-18``) or hybrid (divided by node
+  multiplicity, ``smoother.jl:24-46``) depending on ``mult_inv``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.block_diag import BlockDiag, bd_matvec
+from ..ops.block_tridiag import BlockTridiag, bt_diag_blocks, bt_diagonal
+from ..ops.cg_operator import (
+    CgOperator,
+    cg_assembled_windows,
+    cg_diagonal,
+    cg_node_multiplicity,
+)
+
+
+class JacobiSmoother(NamedTuple):
+    inv_diag: jax.Array  # same shape as the level's vectors
+
+
+class BlockJacobiSmoother(NamedTuple):
+    inv: jax.Array  # (bs, bs, n) inverse diagonal blocks
+
+
+class SchwarzSmoother(NamedTuple):
+    inv_windows: jax.Array  # (w, w, n_el) inverses of assembled element windows
+    mult_inv: jax.Array | None  # (n_nodes,): set => hybrid, None => additive
+
+    @property
+    def p(self) -> int:
+        return self.inv_windows.shape[0] - 1
+
+    @property
+    def n_el(self) -> int:
+        return self.inv_windows.shape[2]
+
+
+Smoother = Union[JacobiSmoother, BlockJacobiSmoother, SchwarzSmoother]
+
+
+def apply_smoother(s: Smoother, r: jax.Array, alpha: float = 1.0) -> jax.Array:
+    """``alpha * S r`` (cf. the four ``apply_smoother`` methods, ``smoother.jl``)."""
+    if isinstance(s, JacobiSmoother):
+        return alpha * (s.inv_diag * r)
+    if isinstance(s, BlockJacobiSmoother):
+        return alpha * bd_matvec(BlockDiag(s.inv), r)
+    if isinstance(s, SchwarzSmoother):
+        p, n_el = s.p, s.n_el
+        idx = p * jnp.arange(n_el)[None, :] + jnp.arange(p + 1)[:, None]
+        r_win = r[idx]  # (w, n_el)
+        y_win = jnp.einsum("abn,bn->an", s.inv_windows, r_win)
+        y = jnp.zeros_like(r).at[idx].add(y_win)
+        if s.mult_inv is not None:
+            y = y * s.mult_inv
+        return alpha * y
+    raise TypeError(f"unknown smoother {type(s)}")
+
+
+def _invert_windows(windows: jax.Array) -> jax.Array:
+    """(w, w, n) -> per-slice inverse, same layout.
+
+    Host LAPACK (setup-time): the TPU backend has no f64 LU, and these are the
+    counterparts of the reference's per-block ``la.lu`` factorizations
+    (``smoother.jl:112,:127,:160``)."""
+    import numpy as np
+
+    inv = np.linalg.inv(np.moveaxis(np.asarray(windows), -1, 0))
+    return jnp.asarray(np.moveaxis(inv, 0, -1))
+
+
+def cg_smoother(a: CgOperator, kind: str = "jac") -> Smoother:
+    """Factory for CG levels (cf. ``smoother.jl:88-139``)."""
+    if kind == "jac":
+        return JacobiSmoother(inv_diag=1.0 / cg_diagonal(a))
+    if kind in ("addSchwarz", "hybridSchwarz"):
+        inv_win = _invert_windows(cg_assembled_windows(a))
+        mult_inv = None
+        if kind == "hybridSchwarz":
+            mult_inv = 1.0 / cg_node_multiplicity(a.p, a.n_el, dtype=a.band.dtype)
+        return SchwarzSmoother(inv_windows=inv_win, mult_inv=mult_inv)
+    raise ValueError(f"unknown CG smoother kind {kind!r}")
+
+
+def dg_smoother(a: BlockTridiag, kind: str = "blockJac") -> Smoother:
+    """Factory for DG / agglomerated levels (cf. ``smoother.jl:142-168``)."""
+    if kind == "jac":
+        return JacobiSmoother(inv_diag=1.0 / bt_diagonal(a))
+    if kind == "blockJac":
+        inv = _invert_windows(bt_diag_blocks(a).blocks)
+        return BlockJacobiSmoother(inv=inv)
+    raise ValueError(f"unknown DG smoother kind {kind!r}")

@@ -1,0 +1,13 @@
+from .interpolation import (
+    aggdg_aggdg_interpolation,
+    aggdg_cg_interpolation,
+    aggdg_cg_interpolation_dense,
+    aggdg_dg_interpolation,
+    aggdg_dg_interpolation2,
+    cg_cg_interpolation,
+    dg_cg_interpolation,
+    dg_cg_interpolation_dense,
+    dg_dg_interpolation,
+)
+
+__all__ = [name for name in dir() if not name.startswith("_")]

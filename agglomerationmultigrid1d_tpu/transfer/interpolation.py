@@ -1,0 +1,208 @@
+"""Inter-level prolongation builders (counterpart of ``src/interpolation.jl``).
+
+Every function returns one of the structured transfer types of
+``..ops.transfer_ops`` (the reference returns general sparse / dense matrices).
+Naming follows the reference: ``<coarse>_<fine>_interpolation`` builds the
+prolongation L mapping the *coarse* space into the *fine* space; restriction is
+always L^T, applied by the solver.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.agg_mesh import AggMesh
+from ..mesh.cg_mesh import CgMesh
+from ..mesh.dg_mesh import DgMesh
+from ..numerics import evaluate_nodal_basis, gauss_quad, modal_basis_vals
+from ..ops.block_diag import bd_to_dense_blocks
+from ..ops.transfer_ops import BlockProlong, CgProlong, SeamProlong, block_prolong_constant
+
+
+# ---------------------------------------------------------------------------
+# CG -> CG (p-coarsening, nodal injection)   cf. interpolation.jl:5-55
+# ---------------------------------------------------------------------------
+
+
+def cg_cg_interpolation(low: CgMesh, high: CgMesh) -> CgProlong:
+    """Coarse (low-order) nodal basis evaluated at fine nodes, grid order."""
+    x_fine_pos = high.ref.nodes_x[high.ref.pos_to_slot]
+    e_slotcols = evaluate_nodal_basis(low.ref.basis_coeff, x_fine_pos)  # (w_f, w_c slots)
+    e = e_slotcols[:, low.ref.pos_to_slot]
+    return CgProlong(e=jnp.asarray(e))
+
+
+# ---------------------------------------------------------------------------
+# DG -> DG (p-coarsening, nodal injection)   cf. interpolation.jl:91-139
+# ---------------------------------------------------------------------------
+
+
+def dg_dg_interpolation(low: DgMesh, high: DgMesh) -> BlockProlong:
+    """Coarse nodal basis at fine nodes, slot order; one constant block."""
+    e = evaluate_nodal_basis(low.ref.basis_coeff, high.ref.nodes_x)  # (w_f, w_c)
+    return block_prolong_constant(jnp.asarray(e), high.n_elements)
+
+
+# ---------------------------------------------------------------------------
+# DG (coarse) -> CG (fine) seam              cf. interpolation.jl:145-220
+# ---------------------------------------------------------------------------
+
+
+def dg_cg_interpolation(low: DgMesh, high: CgMesh, interp_flag: int = 1) -> SeamProlong:
+    """Lumped-mass-scaled L2 projection (flag 1, the hierarchy default,
+    ``mesh_heirarchy.jl:62-63``) or nodal averaging (flag 2)."""
+    w_cg = high.p + 1
+    bs = low.p + 1
+    n = high.n_elements
+    if interp_flag == 1:
+        qx, qw = gauss_quad(low.p + high.p)
+        cg_b = evaluate_nodal_basis(high.ref.basis_coeff, qx)[:, high.ref.pos_to_slot]
+        dg_b = evaluate_nodal_basis(low.ref.basis_coeff, qx)  # (n_q, bs) slot order
+        n_ref = np.einsum("l,la,lm->am", qw, cg_b, dg_b)  # (w_cg, bs)
+        n_win = jnp.asarray(n_ref)[:, :, None, None] * jnp.asarray(high.mesh.jacobians)
+        return SeamProlong(n_win=n_win, inv_lump=1.0 / high.lumped_mass)
+    if interp_flag == 2:
+        x_pos = high.ref.nodes_x[high.ref.pos_to_slot]
+        e = evaluate_nodal_basis(low.ref.basis_coeff, x_pos)  # (w_cg, bs)
+        weights = np.ones((w_cg, n))
+        weights[0, 1:] = 0.5  # interior shared vertices averaged between neighbors
+        weights[-1, :-1] = 0.5
+        n_win = jnp.asarray(weights[:, None, None, :] * e[:, :, None, None])
+        return SeamProlong(n_win=n_win, inv_lump=jnp.ones((high.n_nodes,)))
+    raise ValueError("interp_flag must be 1 or 2 (0 = dense projection: use *_dense)")
+
+
+def dg_cg_interpolation_dense(low: DgMesh, high: CgMesh) -> jnp.ndarray:
+    """Full consistent-mass L2 projection (interp_flag = 0; dense, analysis only)."""
+    from ..ops.cg_operator import cg_to_dense
+
+    l1 = dg_cg_interpolation(low, high, 1)
+    n_dense = _seam_to_dense_n(l1)
+    mass = cg_to_dense(high.mass)
+    import numpy as np
+
+    return jnp.asarray(np.linalg.solve(np.asarray(mass), np.asarray(n_dense)))
+
+
+def _seam_to_dense_n(l: SeamProlong) -> jnp.ndarray:
+    """Materialize the unscaled cross-mass N (testing / dense variants)."""
+    w_cg, bs, r, n_c = l.n_win.shape
+    p_cg = w_cg - 1
+    n_rows = (n_c * r) * p_cg + 1
+    out = jnp.zeros((n_rows, bs * n_c))
+    for j in range(r):
+        for a in range(w_cg):
+            rows = (jnp.arange(n_c) * r + j) * p_cg + a
+            for m_ in range(bs):
+                cols = jnp.arange(n_c) * bs + m_
+                out = out.at[rows, cols].add(l.n_win[a, m_, j, :])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# agg -> agg                                  cf. interpolation.jl:226-264
+# ---------------------------------------------------------------------------
+
+
+def aggdg_aggdg_interpolation(coarse: AggMesh, fine: AggMesh) -> BlockProlong:
+    """L2 projection through the fine mass: L = M_f^-1 N, per fine block."""
+    if coarse.p != fine.p:
+        raise ValueError("the two agglomerated meshes must have the same p")
+    r = coarse.r_sub
+    mc, bs = coarse.n_agg, coarse.block_size
+    rf = fine.r_base
+    jac = fine.base_jacobians().reshape(mc, r, rf)
+    bf = fine.basis_q.reshape(mc, r, rf, -1, bs)
+    bcx = coarse.basis_q.reshape(mc, r, rf, -1, bs)
+    n_blocks = np.einsum("cjs,l,cjsli,cjslm->cjim", jac, fine.quad_weights, bf, bcx)
+
+    minv = np.asarray(bd_to_dense_blocks(fine.mass_inv)).reshape(mc, r, bs, bs)
+    l_blocks = np.einsum("cjik,cjkm->cjim", minv, n_blocks)
+    return BlockProlong(jnp.asarray(np.moveaxis(l_blocks, (0, 1), (-1, 0))))
+
+
+# ---------------------------------------------------------------------------
+# agg (coarse) -> DG (fine)                   cf. interpolation.jl:270-324
+# ---------------------------------------------------------------------------
+
+
+def aggdg_dg_interpolation(agg: AggMesh, base: DgMesh) -> BlockProlong:
+    """Modal -> nodal evaluation of the agglomerate basis at base-element nodes."""
+    r, m, bs = agg.r_base, agg.n_agg, agg.block_size
+    w = base.p + 1
+    centers = base.mesh.centers.reshape(m, r)
+    jacs = base.mesh.jacobians.reshape(m, r)
+    xn = centers[:, :, None] + jacs[:, :, None] * base.ref.nodes_x[None, None, :]
+    blocks = np.empty((m, r, w, bs))
+    for c in range(m):
+        blocks[c] = modal_basis_vals(agg.p, agg.boxes[c], xn[c])
+    return BlockProlong(jnp.asarray(np.moveaxis(blocks, (0, 1), (-1, 0))))
+
+
+def aggdg_dg_interpolation2(agg: AggMesh, base: DgMesh) -> BlockProlong:
+    """L2-projection variant through the base mass (``interpolation.jl:294-324``)."""
+    r, m, bs = agg.r_base, agg.n_agg, agg.block_size
+    w = base.p + 1
+    ref = base.ref
+    centers = base.mesh.centers.reshape(m, r)
+    jacs = base.mesh.jacobians.reshape(m, r)
+    xq = centers[:, :, None] + jacs[:, :, None] * ref.quad_nodes[None, None, :]
+    n_blocks = np.empty((m, r, w, bs))
+    for c in range(m):
+        agg_b = modal_basis_vals(agg.p, agg.boxes[c], xq[c])  # (r, n_q, bs)
+        n_blocks[c] = np.einsum(
+            "s,l,li,slm->sim", jacs[c], ref.quad_weights, ref.basis_at_quad, agg_b
+        )
+    minv = np.asarray(bd_to_dense_blocks(base.mass_inv)).reshape(m, r, w, w)
+    l_blocks = np.einsum("cjik,cjkm->cjim", minv, n_blocks)
+    return BlockProlong(jnp.asarray(np.moveaxis(l_blocks, (0, 1), (-1, 0))))
+
+
+# ---------------------------------------------------------------------------
+# agg (coarse) -> CG (fine) seam              cf. interpolation.jl:330-410
+# ---------------------------------------------------------------------------
+
+
+def aggdg_cg_interpolation(agg: AggMesh, base: CgMesh, interp_flag: int = 1) -> SeamProlong:
+    r, m, bs = agg.r_base, agg.n_agg, agg.block_size
+    w_cg = base.p + 1
+    ref = base.ref
+    centers = base.mesh.centers.reshape(m, r)
+    jacs = base.mesh.jacobians.reshape(m, r)
+    if interp_flag == 1:
+        xq = centers[:, :, None] + jacs[:, :, None] * ref.quad_nodes[None, None, :]
+        cg_b = ref.basis_at_quad[:, ref.pos_to_slot]  # (n_q, w_cg) position order
+        n_win = np.empty((m, r, w_cg, bs))
+        for c in range(m):
+            agg_b = modal_basis_vals(agg.p, agg.boxes[c], xq[c])  # (r, n_q, bs)
+            n_win[c] = np.einsum("s,l,la,slm->sam", jacs[c], ref.quad_weights, cg_b, agg_b)
+        # (m, r, w_cg, bs) -> (w_cg, bs, r, m)
+        n_win = jnp.asarray(n_win.transpose(2, 3, 1, 0))
+        return SeamProlong(n_win=n_win, inv_lump=1.0 / base.lumped_mass)
+    if interp_flag == 2:
+        x_pos = ref.nodes_x[ref.pos_to_slot]
+        xn = centers[:, :, None] + jacs[:, :, None] * x_pos[None, None, :]
+        n_el = base.n_elements
+        e = np.empty((m, r, w_cg, bs))
+        for c in range(m):
+            e[c] = modal_basis_vals(agg.p, agg.boxes[c], xn[c])
+        weights = np.ones((n_el, w_cg))
+        weights[1:, 0] = 0.5
+        weights[:-1, -1] = 0.5
+        e = e * weights.reshape(m, r, w_cg)[:, :, :, None]
+        n_win = jnp.asarray(e.transpose(2, 3, 1, 0))  # (w_cg, bs, r, m)
+        return SeamProlong(n_win=n_win, inv_lump=jnp.ones((base.n_nodes,)))
+    raise ValueError("interp_flag must be 1 or 2 (0 = dense projection: use *_dense)")
+
+
+def aggdg_cg_interpolation_dense(agg: AggMesh, base: CgMesh) -> jnp.ndarray:
+    """Full consistent-mass L2 projection (interp_flag = 0; dense, analysis only)."""
+    from ..ops.cg_operator import cg_to_dense
+
+    l1 = aggdg_cg_interpolation(agg, base, 1)
+    n_dense = _seam_to_dense_n(l1)
+    mass = cg_to_dense(base.mass)
+    import numpy as np
+
+    return jnp.asarray(np.linalg.solve(np.asarray(mass), np.asarray(n_dense)))
