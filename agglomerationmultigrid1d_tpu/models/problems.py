@@ -1,0 +1,161 @@
+"""Canonical problem setups mirroring the reference's driver scripts.
+
+The reference has no API layer above the hierarchy — its ``tests/*.jl`` scripts
+double as the user interface (SURVEY layer L8).  These builders reproduce those
+configurations as one-call constructors:
+
+* :func:`poisson_cg_hierarchy`      — ``tests/cg_heirarchy_test.jl``
+* :func:`poisson_dg_cg_hierarchy`   — ``tests/dg_cg_heirarchy_test.jl``
+* :func:`poisson_dg_hierarchy`      — ``tests/dg_heirarchy_test.jl``
+* :func:`poisson_full_hierarchy`    — ``tests/full_heirarchy_test.jl``
+
+Model problem: -u'' = cos(x) on [0, 1], u = cos (mixed Neumann/Dirichlet ends).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..assembly.cg_assembly import cg_stiffness_and_rhs
+from ..assembly.dg_assembly import dg_flux_operators, dg_flux_rhs
+from ..mesh.agg_mesh import coarsen_agg_mesh, make_agg_mesh
+from ..mesh.cg_mesh import make_cg_mesh
+from ..mesh.dg_mesh import make_dg_mesh
+from ..mesh.topology import BoundaryCondition, create_uniform_mesh
+from ..ops.block_diag import bd_matvec
+from ..ops.block_tridiag import bd_mul_bt, bt_matvec, bt_mul_bt, bt_sub
+from .hierarchy import Hierarchy, build_dg_hierarchy, build_hierarchy
+
+
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    hierarchy: Hierarchy
+    b: jnp.ndarray
+    meshes: list
+    bc: BoundaryCondition
+
+
+def default_model_problem():
+    """-u'' = cos, exact u = cos (cf. full_heirarchy_test.jl:23-25)."""
+    func = jnp.cos
+    u_exact = np.cos
+    ux_exact = lambda x: -np.sin(x)  # noqa: E731
+    return func, u_exact, ux_exact
+
+
+def _default_bc(u_exact, ux_exact, xin=0.0, xout=1.0) -> BoundaryCondition:
+    """Neumann left / Dirichlet right (full_heirarchy_test.jl:39)."""
+    return BoundaryCondition(("neu", ux_exact(xin)), ("dir", u_exact(xout)))
+
+
+def _cg_orders(max_p: int, n_cg: int) -> list[int]:
+    """p, p//2, p//4, ... (cf. cg_heirarchy_test.jl:29-34)."""
+    orders = []
+    p = max_p
+    for _ in range(n_cg):
+        orders.append(p)
+        p //= 2
+    return orders
+
+
+def poisson_cg_hierarchy(
+    n: int = 128,
+    max_p: int = 8,
+    n_cg: int = 4,
+    func: Callable | None = None,
+    bc: BoundaryCondition | None = None,
+) -> Problem:
+    func_, u_ex, ux_ex = default_model_problem()
+    func = func or func_
+    bc = bc or _default_bc(u_ex, ux_ex)
+    mesh = create_uniform_mesh(n, 0.0, 1.0)
+    meshes = [make_cg_mesh(mesh, p) for p in _cg_orders(max_p, n_cg)]
+    a, b = cg_stiffness_and_rhs(meshes[0], func, bc)
+    h = build_hierarchy(meshes, bc, a)
+    return Problem(hierarchy=h, b=b, meshes=meshes, bc=bc)
+
+
+def poisson_dg_cg_hierarchy(
+    n: int = 128,
+    max_p: int = 8,
+    n_cg: int = 4,
+    n_dg: int = 1,
+    c_dir: float | None = None,
+    func: Callable | None = None,
+    bc: BoundaryCondition | None = None,
+) -> Problem:
+    """CG chain then DG levels continuing the p-halving (reaching p = 0 for the
+    default 4 + 1 configuration, as in dg_cg_heirarchy_test.jl:31-45)."""
+    func_, u_ex, ux_ex = default_model_problem()
+    func = func or func_
+    bc = bc or _default_bc(u_ex, ux_ex)
+    c_dir = 1000.0 * n if c_dir is None else c_dir
+    mesh = create_uniform_mesh(n, 0.0, 1.0)
+    orders = _cg_orders(max_p, n_cg + n_dg)
+    meshes = [make_cg_mesh(mesh, p) for p in orders[:n_cg]]
+    meshes += [make_dg_mesh(mesh, p) for p in orders[n_cg:]]
+    a, b = cg_stiffness_and_rhs(meshes[0], func, bc)
+    h = build_hierarchy(meshes, bc, a, c_dir=c_dir)
+    return Problem(hierarchy=h, b=b, meshes=meshes, bc=bc)
+
+
+def poisson_dg_hierarchy(
+    n: int = 128,
+    max_p: int = 8,
+    n_dg: int = 4,
+    c_dir: float | None = None,
+    func: Callable | None = None,
+    bc: BoundaryCondition | None = None,
+) -> Problem:
+    """DG-topped hierarchy; finest operators assembled directly and
+    ``b = f - D M^-1 r`` (dg_heirarchy_test.jl:38-46)."""
+    func_, u_ex, ux_ex = default_model_problem()
+    func = func or func_
+    bc = bc or _default_bc(u_ex, ux_ex)
+    c_dir = 1000.0 * n if c_dir is None else c_dir
+    mesh = create_uniform_mesh(n, 0.0, 1.0)
+    meshes = [make_dg_mesh(mesh, p) for p in _cg_orders(max_p, n_dg)]
+    dg = meshes[0]
+    g, d, c = dg_flux_operators(dg, bc, c_dir)
+    a = bt_sub(c, bt_mul_bt(d, bd_mul_bt(dg.mass_inv, g)))
+    f, r = dg_flux_rhs(dg, func, bc, c_dir)
+    b = f - bt_matvec(d, bd_matvec(dg.mass_inv, r))
+    h = build_dg_hierarchy(meshes, a, g, d, c)
+    return Problem(hierarchy=h, b=b, meshes=meshes, bc=bc)
+
+
+def poisson_full_hierarchy(
+    n: int = 128,
+    max_p: int = 8,
+    n_cg: int = 4,
+    n_agg: int | None = None,
+    p_agg: int = 1,
+    c_dir: float | None = None,
+    func: Callable | None = None,
+    bc: BoundaryCondition | None = None,
+) -> Problem:
+    """The flagship configuration (full_heirarchy_test.jl:30-92): 4 CG levels
+    p = 8, 4, 2, 1, then log2(n) - 1 agglomerated levels (first 4:1, rest 2:1),
+    CDir = 1000 n."""
+    func_, u_ex, ux_ex = default_model_problem()
+    func = func or func_
+    bc = bc or _default_bc(u_ex, ux_ex)
+    c_dir = 1000.0 * n if c_dir is None else c_dir
+    if n_agg is None:
+        n_agg = int(np.log2(n)) - 1
+    mesh = create_uniform_mesh(n, 0.0, 1.0)
+    meshes: list = [make_cg_mesh(mesh, p) for p in _cg_orders(max_p, n_cg)]
+    aggs = []
+    for i in range(n_agg):
+        if i == 0:
+            aggs.append(make_agg_mesh(p_agg, mesh, 4))
+        else:
+            aggs.append(coarsen_agg_mesh(aggs[-1], 2))
+    meshes += aggs
+    a, b = cg_stiffness_and_rhs(meshes[0], func, bc)
+    h = build_hierarchy(meshes, bc, a, c_dir=c_dir)
+    return Problem(hierarchy=h, b=b, meshes=meshes, bc=bc)
