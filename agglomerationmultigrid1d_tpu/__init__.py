@@ -30,10 +30,20 @@ Design notes
 
 import os as _os
 
-if not _os.environ.get("AGGMG_NO_X64"):
-    import jax as _jax
+import jax as _jax
 
+if not _os.environ.get("AGGMG_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
+
+# Multilevel V-cycles are large fused graphs; persistent compilation caching
+# makes repeat runs (and every run after the first on a given config) instant.
+if not _os.environ.get("AGGMG_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "AGGMG_COMPILE_CACHE_DIR", _os.path.expanduser("~/.cache/aggmg_jax")
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from . import numerics, mesh, ops, assembly, transfer, smoothers, models, parallel, utils  # noqa: E402,F401
 

@@ -28,6 +28,7 @@ from ..mesh.dg_mesh import make_dg_mesh
 from ..mesh.topology import BoundaryCondition, create_uniform_mesh
 from ..ops.block_diag import bd_matvec
 from ..ops.block_tridiag import bd_mul_bt, bt_matvec, bt_mul_bt, bt_sub
+from ..utils.host import host_setup, to_accelerator
 from .hierarchy import Hierarchy, build_dg_hierarchy, build_hierarchy
 
 
@@ -62,6 +63,7 @@ def _cg_orders(max_p: int, n_cg: int) -> list[int]:
     return orders
 
 
+@host_setup
 def poisson_cg_hierarchy(
     n: int = 128,
     max_p: int = 8,
@@ -76,9 +78,10 @@ def poisson_cg_hierarchy(
     meshes = [make_cg_mesh(mesh, p) for p in _cg_orders(max_p, n_cg)]
     a, b = cg_stiffness_and_rhs(meshes[0], func, bc)
     h = build_hierarchy(meshes, bc, a)
-    return Problem(hierarchy=h, b=b, meshes=meshes, bc=bc)
+    return Problem(hierarchy=to_accelerator(h), b=to_accelerator(b), meshes=meshes, bc=bc)
 
 
+@host_setup
 def poisson_dg_cg_hierarchy(
     n: int = 128,
     max_p: int = 8,
@@ -100,9 +103,10 @@ def poisson_dg_cg_hierarchy(
     meshes += [make_dg_mesh(mesh, p) for p in orders[n_cg:]]
     a, b = cg_stiffness_and_rhs(meshes[0], func, bc)
     h = build_hierarchy(meshes, bc, a, c_dir=c_dir)
-    return Problem(hierarchy=h, b=b, meshes=meshes, bc=bc)
+    return Problem(hierarchy=to_accelerator(h), b=to_accelerator(b), meshes=meshes, bc=bc)
 
 
+@host_setup
 def poisson_dg_hierarchy(
     n: int = 128,
     max_p: int = 8,
@@ -125,9 +129,10 @@ def poisson_dg_hierarchy(
     f, r = dg_flux_rhs(dg, func, bc, c_dir)
     b = f - bt_matvec(d, bd_matvec(dg.mass_inv, r))
     h = build_dg_hierarchy(meshes, a, g, d, c)
-    return Problem(hierarchy=h, b=b, meshes=meshes, bc=bc)
+    return Problem(hierarchy=to_accelerator(h), b=to_accelerator(b), meshes=meshes, bc=bc)
 
 
+@host_setup
 def poisson_full_hierarchy(
     n: int = 128,
     max_p: int = 8,
@@ -158,4 +163,4 @@ def poisson_full_hierarchy(
     meshes += aggs
     a, b = cg_stiffness_and_rhs(meshes[0], func, bc)
     h = build_hierarchy(meshes, bc, a, c_dir=c_dir)
-    return Problem(hierarchy=h, b=b, meshes=meshes, bc=bc)
+    return Problem(hierarchy=to_accelerator(h), b=to_accelerator(b), meshes=meshes, bc=bc)

@@ -44,7 +44,15 @@ def _put(x, mesh: Mesh, spec: P):
 
 
 def _shard_last(x, mesh):
-    """Shard the trailing axis of an array of any rank."""
+    """Shard the trailing axis when it divides the device count, else replicate.
+
+    CG node arrays have odd length (n_el * p + 1) and therefore stay replicated
+    for now (a ghost-padded representation can lift this later); all block-level
+    arrays in the standard configurations divide evenly.
+    """
+    n_dev = mesh.devices.size
+    if x.ndim == 0 or x.shape[-1] % n_dev != 0:
+        return _put(x, mesh, P())
     spec = P(*([None] * (x.ndim - 1) + [AXIS]))
     return _put(x, mesh, spec)
 
