@@ -1,0 +1,146 @@
+"""Pallas TPU kernels for the hot block-level ops.
+
+The V-cycle's hot loop is the damped block-Jacobi sweep
+``x += alpha * Binv (b - A x)`` with A block-tridiagonal in SoA layout
+(bs, bs, n).  XLA already fuses the jnp einsum formulation well; the Pallas
+version fuses the *entire* sweep (matvec + residual + block solve + axpy) into
+one pass over HBM, reading each operand exactly once per tile — the
+speed-of-light formulation for this memory-bound kernel.
+
+Neighbor access: each grid tile reads its own x block plus the two adjacent
+blocks (clamped index maps); the halo columns are spliced in with lane rolls +
+masked selects, so no manual DMA is needed.
+
+These kernels are dtype-generic but intended for the f32 fast path; f64 parity
+runs stay on the XLA path (`ops.block_tridiag`).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..block_tridiag import BlockTridiag, bt_matvec
+
+try:  # x64 tracing poisons Mosaic with i64 scalars (kernels are f32-only anyway)
+    from jax._src.config import enable_x64 as _enable_x64
+except ImportError:  # pragma: no cover
+    _enable_x64 = None
+
+
+def _x32_scope():
+    return _enable_x64(False) if _enable_x64 is not None else contextlib.nullcontext()
+
+
+def _pick_tile(bs: int, n: int, dtype, vmem_budget=6 * 1024 * 1024) -> int:
+    """Largest power-of-two tile with 4 block operands + 5 vectors in budget."""
+    bpe = jnp.dtype(dtype).itemsize
+    per_lane = (4 * bs * bs + 5 * bs) * bpe * 2  # x2: double buffering
+    tile = 1 << 20
+    while tile > 128 and (tile * per_lane > vmem_budget or n % tile != 0):
+        tile //= 2
+    return tile
+
+
+def _neighbor_splice(xc, xl, xr, i, ni):
+    """Build x_{k-1} and x_{k+1} lane vectors for this tile."""
+    bs, t = xc.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (bs, t), 1)
+    xm = pltpu.roll(xc, jnp.int32(1), axis=1)
+    left_col = jnp.where(i == 0, jnp.zeros((bs, 1), xc.dtype), xl[:, t - 1 : t])
+    xm = jnp.where(col == 0, left_col, xm)
+    xp = pltpu.roll(xc, jnp.int32(t - 1), axis=1)  # circular -1 (shift must be >= 0 i32)
+    right_col = jnp.where(i == ni - 1, jnp.zeros((bs, 1), xc.dtype), xr[:, 0:1])
+    xp = jnp.where(col == t - 1, right_col, xp)
+    return xm, xp
+
+
+def _contract(mat_ref, vec, bs):
+    """y[i, :] = sum_j mat[i, j, :] * vec[j, :] — bs unrolled VPU FMAs."""
+    acc = mat_ref[:, 0, :] * vec[0:1, :]
+    for j in range(1, bs):
+        acc = acc + mat_ref[:, j, :] * vec[j : j + 1, :]
+    return acc
+
+
+def _sweep_kernel(ad, al, au, binv, xc, xl, xr, b, out, *, alpha, bs):
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+    x = xc[...]
+    xm, xp = _neighbor_splice(x, xl[...], xr[...], i, ni)
+    r = b[...] - _contract(ad, x, bs) - _contract(al, xm, bs) - _contract(au, xp, bs)
+    out[...] = x + alpha * _contract(binv, r, bs)
+
+
+def _matvec_kernel(ad, al, au, xc, xl, xr, out, *, bs):
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+    x = xc[...]
+    xm, xp = _neighbor_splice(x, xl[...], xr[...], i, ni)
+    out[...] = _contract(ad, x, bs) + _contract(al, xm, bs) + _contract(au, xp, bs)
+
+
+def _specs(bs: int, tile: int):
+    spec3 = pl.BlockSpec((bs, bs, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    specv = pl.BlockSpec((bs, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    specl = pl.BlockSpec(
+        (bs, tile), lambda i: (0, jnp.maximum(i - 1, 0)), memory_space=pltpu.VMEM
+    )
+    specr = pl.BlockSpec(
+        (bs, tile),
+        lambda i: (0, jnp.minimum(i + 1, pl.num_programs(0) - 1)),
+        memory_space=pltpu.VMEM,
+    )
+    return spec3, specv, specl, specr
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "interpret"))
+def pallas_block_jacobi_sweep(
+    a: BlockTridiag, s_inv: jax.Array, x: jax.Array, b: jax.Array,
+    alpha: float = 2.0 / 3.0, interpret: bool = False,
+) -> jax.Array:
+    """Fused ``x + alpha * s_inv (b - A x)``; falls back to XLA for awkward n."""
+    bs, _, n = a.diag.shape
+    tile = _pick_tile(bs, n, x.dtype)
+    if n % tile != 0 or n < 2 * tile:
+        from ...smoothers.smoother import BlockJacobiSmoother, apply_smoother
+
+        return x + apply_smoother(BlockJacobiSmoother(inv=s_inv), b - bt_matvec(a, x), alpha)
+
+    spec3, specv, specl, specr = _specs(bs, tile)
+    kernel = functools.partial(_sweep_kernel, alpha=alpha, bs=bs)
+    with _x32_scope():
+        return pl.pallas_call(
+            kernel,
+            grid=(n // tile,),
+            in_specs=[spec3, spec3, spec3, spec3, specv, specl, specr, specv],
+            out_specs=specv,
+            out_shape=jax.ShapeDtypeStruct((bs, n), x.dtype),
+            interpret=interpret,
+        )(a.diag, a.lower, a.upper, s_inv, x, x, x, b)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_bt_matvec(a: BlockTridiag, x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Block-tridiagonal matvec as a single-pass Pallas kernel."""
+    bs, _, n = a.diag.shape
+    tile = _pick_tile(bs, n, x.dtype)
+    if n % tile != 0 or n < 2 * tile:
+        return bt_matvec(a, x)
+
+    spec3, specv, specl, specr = _specs(bs, tile)
+    kernel = functools.partial(_matvec_kernel, bs=bs)
+    with _x32_scope():
+        return pl.pallas_call(
+            kernel,
+            grid=(n // tile,),
+            in_specs=[spec3, spec3, spec3, specv, specl, specr],
+            out_specs=specv,
+            out_shape=jax.ShapeDtypeStruct((bs, n), x.dtype),
+            interpret=interpret,
+        )(a.diag, a.lower, a.upper, x, x, x)

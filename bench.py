@@ -67,9 +67,11 @@ def bench_smoother(n_el: int, p: int = 3, iters: int = 50):
     a, s, b = build_smoother_problem(n_el, p)
     x0 = jnp.zeros_like(b)
 
-    step = jax.jit(lambda x: sweep(a, s, x, b))
+    # operators are jit ARGUMENTS, not closure constants — closed-over arrays
+    # would be embedded in the HLO module (gigabytes through remote compile)
+    step = jax.jit(sweep)
     t0 = time.time()
-    x = step(x0)
+    x = step(a, s, x0, b)
     x.block_until_ready()
     log(f"smoother compile+first run: {time.time() - t0:.1f}s")
 
@@ -77,7 +79,7 @@ def bench_smoother(n_el: int, p: int = 3, iters: int = 50):
     t0 = time.time()
     x = x0
     for _ in range(iters):
-        x = step(x)
+        x = step(a, s, x, b)
     x.block_until_ready()
     dt = (time.time() - t0) / iters
     nnz = sweep_nnz(n_el, p + 1)
