@@ -95,7 +95,18 @@ def _block_level(
     )
 
 
+MAX_COARSE_DOF = 16384
+
+
 def _coarse_lu(level: Level) -> CoarseSolver:
+    n_dof = level.a.n_nodes if isinstance(level, CgLevel) else level.a.n_dof
+    if n_dof > MAX_COARSE_DOF:
+        raise ValueError(
+            f"coarsest level has {n_dof} DoF (> {MAX_COARSE_DOF}); the dense coarse "
+            "solve would not fit — add more coarsening levels (e.g. agglomeration "
+            "levels for large element counts; DG p-coarsening alone never reduces "
+            "the element count)"
+        )
     if isinstance(level, CgLevel):
         return make_coarse_solver(cg_to_dense(level.a))
     return make_coarse_solver(bt_to_dense(level.a))

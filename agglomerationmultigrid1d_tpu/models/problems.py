@@ -111,18 +111,30 @@ def poisson_dg_hierarchy(
     n: int = 128,
     max_p: int = 8,
     n_dg: int = 4,
+    n_agg: int = 0,
+    p_agg: int = 1,
     c_dir: float | None = None,
     func: Callable | None = None,
     bc: BoundaryCondition | None = None,
 ) -> Problem:
     """DG-topped hierarchy; finest operators assembled directly and
-    ``b = f - D M^-1 r`` (dg_heirarchy_test.jl:38-46)."""
+    ``b = f - D M^-1 r`` (dg_heirarchy_test.jl:38-46).
+
+    ``n_agg`` optionally appends agglomerated h-coarsening levels below the DG
+    p-chain (4:1 first, 2:1 after) — required to keep the coarsest level small
+    for large element counts (cf. the DG->agg path of ``mesh_heirarchy.jl:89-95``).
+    """
     func_, u_ex, ux_ex = default_model_problem()
     func = func or func_
     bc = bc or _default_bc(u_ex, ux_ex)
     c_dir = 1000.0 * n if c_dir is None else c_dir
     mesh = create_uniform_mesh(n, 0.0, 1.0)
-    meshes = [make_dg_mesh(mesh, p) for p in _cg_orders(max_p, n_dg)]
+    meshes: list = [make_dg_mesh(mesh, p) for p in _cg_orders(max_p, n_dg)]
+    for i in range(n_agg):
+        if i == 0:
+            meshes.append(make_agg_mesh(p_agg, mesh, 4))
+        else:
+            meshes.append(coarsen_agg_mesh(meshes[-1], 2))
     dg = meshes[0]
     g, d, c = dg_flux_operators(dg, bc, c_dir)
     a = bt_sub(c, bt_mul_bt(d, bd_mul_bt(dg.mass_inv, g)))

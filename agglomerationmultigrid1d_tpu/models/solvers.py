@@ -74,6 +74,38 @@ def _unflatten_level_vec(flat, like):
     return flat.reshape(n, bs).T
 
 
+def _smooth_n(level, u, rhs, n_sweeps, alpha, use_pallas):
+    """``n_sweeps`` damped smoother applications ``u += alpha S (rhs - A u)``.
+
+    On block levels with a block-Jacobi smoother and f32 data, all sweeps fuse
+    into ONE temporally-blocked Pallas pass over HBM (~n_sweeps x the effective
+    throughput of the sweep-at-a-time formulation)."""
+    from ..smoothers.smoother import BlockJacobiSmoother
+
+    if (
+        use_pallas
+        and isinstance(level, BlockLevel)
+        and isinstance(level.smoother, BlockJacobiSmoother)
+        and u.dtype == jnp.float32
+    ):
+        from ..ops.pallas import pallas_block_jacobi_multisweep
+
+        return pallas_block_jacobi_multisweep(
+            level.a, level.smoother.inv, u, rhs, n_sweeps=n_sweeps, alpha=alpha
+        )
+    for _ in range(n_sweeps):
+        u = u + apply_smoother(level.smoother, rhs - level_matvec(level, u), alpha=alpha)
+    return u
+
+
+def _level_matvec_opt(level, x, use_pallas):
+    if use_pallas and isinstance(level, BlockLevel) and x.dtype == jnp.float32:
+        from ..ops.pallas import pallas_bt_matvec
+
+        return pallas_bt_matvec(level.a, x)
+    return level_matvec(level, x)
+
+
 def v_cycle(
     h: Hierarchy,
     x0: jax.Array,
@@ -82,6 +114,7 @@ def v_cycle(
     n_pre: int = 3,
     n_post: int = 3,
     alpha: float = 2.0 / 3.0,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """One multigrid V-cycle (cf. ``solvers.jl:19-50``)."""
     n = h.n_levels
@@ -93,11 +126,10 @@ def v_cycle(
         level = h.levels[k]
         if k > 0:
             u[k] = jnp.zeros_like(rhs[k])
-        for _ in range(n_pre):
-            u[k] = u[k] + apply_smoother(
-                level.smoother, rhs[k] - level_matvec(level, u[k]), alpha=alpha
-            )
-        rhs[k + 1] = transfer_restrict(h.transfers[k], rhs[k] - level_matvec(level, u[k]))
+        u[k] = _smooth_n(level, u[k], rhs[k], n_pre, alpha, use_pallas)
+        rhs[k + 1] = transfer_restrict(
+            h.transfers[k], rhs[k] - _level_matvec_opt(level, u[k], use_pallas)
+        )
 
     # coarsest level: replicated dense direct solve (cf. solvers.jl:39)
     flat = _flatten_level_vec(rhs[n - 1])
@@ -106,10 +138,7 @@ def v_cycle(
     for k in range(n - 2, -1, -1):
         level = h.levels[k]
         u[k] = u[k] + transfer_prolong(h.transfers[k], u[k + 1])
-        for _ in range(n_post):
-            u[k] = u[k] + apply_smoother(
-                level.smoother, rhs[k] - level_matvec(level, u[k]), alpha=alpha
-            )
+        u[k] = _smooth_n(level, u[k], rhs[k], n_post, alpha, use_pallas)
     return u[0]
 
 
@@ -240,3 +269,85 @@ def iterative_smoother_solve(
         cond, body, (x0, jnp.array(0), nan, nan, jnp.array(False))
     )
     return MultigridResult(x=x, iterations=it, res_history=res_h, err_history=err_h)
+
+
+# ---------------------------------------------------------------------------
+# Mixed precision: f32 fast-path V-cycle inside an f64 defect-correction loop
+# ---------------------------------------------------------------------------
+
+
+def make_low_precision_hierarchy(h: Hierarchy, dtype=jnp.float32) -> Hierarchy:
+    """Cast a hierarchy for use as the inner preconditioner of
+    :func:`multigrid_mixed` (see ``utils.precision``)."""
+    from ..utils.precision import hierarchy_astype
+
+    return hierarchy_astype(h, dtype)
+
+
+def multigrid_mixed(
+    h: Hierarchy,
+    h_low: Hierarchy,
+    x0: jax.Array,
+    b: jax.Array,
+    maxiter: int = 100,
+    tol: float = 1e-10,
+    *,
+    n_pre: int = 3,
+    n_post: int = 3,
+    alpha: float = 2.0 / 3.0,
+    use_pallas: bool = True,
+) -> MultigridResult:
+    """Defect-correction multigrid: residuals and updates in f64, the V-cycle
+    itself in f32 (Pallas fast path).  Converges to the same 1e-10 relative
+    residuals as the all-f64 iteration because the inner cycle only serves as a
+    preconditioner — this is the TPU answer to the reference's reliance on
+    double-precision solvers (SURVEY §7 hard part 1).
+
+    The outer loop runs on the host with two small jitted device programs (the
+    f64 defect/update step and the f32 V-cycle): compiling both precisions into
+    one fused while_loop module is pathologically slow on the remote TPU
+    toolchain, and the per-iteration host sync is one scalar.
+    """
+    low_dtype = jax.tree_util.tree_leaves(h_low.levels[0].a)[0].dtype
+
+    fine = h.levels[0]
+
+    @jax.jit
+    def defect(x, bb):
+        r = bb - level_matvec(fine, x)
+        return r, jnp.linalg.norm(_flatten_level_vec(r))
+
+    inner = jax.jit(
+        lambda hh, r: v_cycle(
+            hh, jnp.zeros_like(r), r,
+            n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas,
+        )
+    )
+
+    @jax.jit
+    def update(x, e):
+        return x + e.astype(x.dtype)
+
+    norm_b = float(jnp.linalg.norm(_flatten_level_vec(b)))
+    import numpy as np
+
+    res_h = np.full((maxiter,), np.nan)
+    err_h = np.full((maxiter,), np.nan)
+    x = x0
+    it = 0
+    for i in range(maxiter):
+        r, _ = defect(x, b)
+        e = inner(h_low, r.astype(low_dtype))
+        x = update(x, e)
+        _, res = defect(x, b)
+        res = float(res)
+        res_h[i] = res
+        it = i + 1
+        if res < tol * norm_b:
+            break
+    return MultigridResult(
+        x=x,
+        iterations=jnp.array(it),
+        res_history=jnp.asarray(res_h),
+        err_history=jnp.asarray(err_h),
+    )

@@ -1,3 +1,11 @@
-from .block_kernels import pallas_block_jacobi_sweep, pallas_bt_matvec
+from .block_kernels import (
+    pallas_block_jacobi_multisweep,
+    pallas_block_jacobi_sweep,
+    pallas_bt_matvec,
+)
 
-__all__ = ["pallas_block_jacobi_sweep", "pallas_bt_matvec"]
+__all__ = [
+    "pallas_block_jacobi_multisweep",
+    "pallas_block_jacobi_sweep",
+    "pallas_bt_matvec",
+]

