@@ -10,6 +10,8 @@ from .dg_assembly import (
     r_vector,
 )
 from .agg_assembly import (
+    agg_f_vector,
+    agg_r_vector,
     agg_c_matrix,
     agg_divergence,
     agg_flux_operators,

@@ -122,3 +122,15 @@ def agg_c_matrix(agg: AggMesh, bc: BoundaryCondition, c_dir: float) -> BlockTrid
     C factor of :func:`agg_flux_operators`, which the hierarchy actually uses.)"""
     _, _, c = agg_flux_operators(agg, bc, c_dir)
     return c
+
+
+def agg_r_vector(agg: AggMesh, bc: BoundaryCondition) -> jax.Array:
+    """Dirichlet-lift vector alone (cf. ``agglomerated_dg_mesh.jl`` r terms)."""
+    _, r = agg_flux_rhs(agg, lambda x: jnp.zeros_like(x), bc, 0.0)
+    return r
+
+
+def agg_f_vector(agg: AggMesh, func: Callable, bc: BoundaryCondition, c_dir: float) -> jax.Array:
+    """Load + boundary contributions alone."""
+    f, _ = agg_flux_rhs(agg, func, bc, c_dir)
+    return f

@@ -5,7 +5,22 @@ from .hierarchy import (
     build_dg_hierarchy,
     build_hierarchy,
 )
+from .analysis import (
+    mode_damping,
+    smoother_dense_matrix,
+    smoother_iteration_matrix,
+    smoother_spectrum,
+)
+from .problems import (
+    Problem,
+    poisson_cg_hierarchy,
+    poisson_dg_cg_hierarchy,
+    poisson_dg_hierarchy,
+    poisson_full_hierarchy,
+)
 from .solvers import (
+    make_low_precision_hierarchy,
+    multigrid_mixed,
     MultigridResult,
     iterative_smoother_solve,
     level_matvec,

@@ -1,4 +1,6 @@
 from .interpolation import (
+    cg_cg_interpolation2,
+    dg_dg_interpolation2,
     aggdg_aggdg_interpolation,
     aggdg_cg_interpolation,
     aggdg_cg_interpolation_dense,

@@ -206,3 +206,34 @@ def aggdg_cg_interpolation_dense(agg: AggMesh, base: CgMesh) -> jnp.ndarray:
     import numpy as np
 
     return jnp.asarray(np.linalg.solve(np.asarray(mass), np.asarray(n_dense)))
+
+
+# ---------------------------------------------------------------------------
+# analysis-only variants kept for API parity with the reference
+# ---------------------------------------------------------------------------
+
+
+def cg_cg_interpolation2(low: CgMesh, high: CgMesh) -> jnp.ndarray:
+    """Consistent-mass L2 projection between CG spaces (``interpolation.jl:57-85``;
+    unused by the hierarchy, dense because of the global mass solve)."""
+    from ..ops.cg_operator import cg_to_dense
+
+    qx, qw = gauss_quad(low.p + high.p)
+    hi_b = evaluate_nodal_basis(high.ref.basis_coeff, qx)[:, high.ref.pos_to_slot]
+    lo_b = evaluate_nodal_basis(low.ref.basis_coeff, qx)[:, low.ref.pos_to_slot]
+    n_ref = np.einsum("l,la,lb->ab", qw, hi_b, lo_b)  # (w_h, w_l)
+    n_el = high.n_elements
+    p_h, p_l = high.p, low.p
+    n_dense = np.zeros((high.n_nodes, low.n_nodes))
+    jac = high.mesh.jacobians
+    for k in range(n_el):
+        n_dense[k * p_h : k * p_h + p_h + 1, k * p_l : k * p_l + p_l + 1] += jac[k] * n_ref
+    mass = np.asarray(cg_to_dense(high.mass))
+    return jnp.asarray(np.linalg.solve(mass, n_dense))
+
+
+def dg_dg_interpolation2(low: DgMesh, high: DgMesh) -> BlockProlong:
+    """Duplicate-avoiding build variant (``interpolation.jl:111-139``); its
+    entries equal :func:`dg_dg_interpolation` exactly (nodal basis is zero at
+    the other endpoints), so this is the same operator."""
+    return dg_dg_interpolation(low, high)
