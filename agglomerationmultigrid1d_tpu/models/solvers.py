@@ -284,6 +284,25 @@ def make_low_precision_hierarchy(h: Hierarchy, dtype=jnp.float32) -> Hierarchy:
     return hierarchy_astype(h, dtype)
 
 
+@jax.jit
+def _mixed_defect(fine, x, b):
+    r = b - level_matvec(fine, x)
+    return r, jnp.linalg.norm(_flatten_level_vec(r))
+
+
+@functools.partial(jax.jit, static_argnames=("n_pre", "n_post", "alpha", "use_pallas"))
+def _mixed_inner(h_low, r, *, n_pre, n_post, alpha, use_pallas):
+    return v_cycle(
+        h_low, jnp.zeros_like(r), r,
+        n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas,
+    )
+
+
+@jax.jit
+def _mixed_update(x, e):
+    return x + e.astype(x.dtype)
+
+
 def multigrid_mixed(
     h: Hierarchy,
     h_low: Hierarchy,
@@ -303,43 +322,27 @@ def multigrid_mixed(
     preconditioner — this is the TPU answer to the reference's reliance on
     double-precision solvers (SURVEY §7 hard part 1).
 
-    The outer loop runs on the host with two small jitted device programs (the
-    f64 defect/update step and the f32 V-cycle): compiling both precisions into
-    one fused while_loop module is pathologically slow on the remote TPU
+    The outer loop runs on the host over three small module-level jitted
+    programs (f64 defect, f32 V-cycle, f64 update): compiling both precisions
+    into one fused while_loop module is pathologically slow on the remote TPU
     toolchain, and the per-iteration host sync is one scalar.
     """
-    low_dtype = jax.tree_util.tree_leaves(h_low.levels[0].a)[0].dtype
-
-    fine = h.levels[0]
-
-    @jax.jit
-    def defect(x, bb):
-        r = bb - level_matvec(fine, x)
-        return r, jnp.linalg.norm(_flatten_level_vec(r))
-
-    inner = jax.jit(
-        lambda hh, r: v_cycle(
-            hh, jnp.zeros_like(r), r,
-            n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas,
-        )
-    )
-
-    @jax.jit
-    def update(x, e):
-        return x + e.astype(x.dtype)
-
-    norm_b = float(jnp.linalg.norm(_flatten_level_vec(b)))
     import numpy as np
 
+    low_dtype = jax.tree_util.tree_leaves(h_low.levels[0].a)[0].dtype
+    fine = h.levels[0]
+    kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas)
+
+    norm_b = float(jnp.linalg.norm(_flatten_level_vec(b)))
     res_h = np.full((maxiter,), np.nan)
     err_h = np.full((maxiter,), np.nan)
     x = x0
     it = 0
     for i in range(maxiter):
-        r, _ = defect(x, b)
-        e = inner(h_low, r.astype(low_dtype))
-        x = update(x, e)
-        _, res = defect(x, b)
+        r, _ = _mixed_defect(fine, x, b)
+        e = _mixed_inner(h_low, r.astype(low_dtype), **kw)
+        x = _mixed_update(x, e)
+        _, res = _mixed_defect(fine, x, b)
         res = float(res)
         res_h[i] = res
         it = i + 1

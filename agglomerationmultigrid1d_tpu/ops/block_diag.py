@@ -57,13 +57,16 @@ def bd_matvec(bd: BlockDiag, x: jax.Array) -> jax.Array:
 def bd_inverse(bd: BlockDiag) -> BlockDiag:
     """Explicit per-block inverse.
 
-    Setup-time only and computed through host LAPACK (``np.linalg.inv``): the
-    TPU backend implements LuDecomposition only in f32, while these factorizations
-    must happen in f64 for parity with the reference's LAPACK/UMFPACK solves.
+    Setup-time only and computed on the host (native C++ batched Gauss-Jordan
+    when built, NumPy LAPACK otherwise): the TPU backend implements
+    LuDecomposition only in f32, while these factorizations must happen in f64
+    for parity with the reference's LAPACK/UMFPACK solves.
     """
     import numpy as np
 
-    inv = np.linalg.inv(np.asarray(bd_to_dense_blocks(bd)))
+    from .native import batched_inv
+
+    inv = batched_inv(np.asarray(bd_to_dense_blocks(bd)))
     return BlockDiag(jnp.asarray(np.moveaxis(inv, 0, -1)))
 
 

@@ -74,12 +74,15 @@ def apply_smoother(s: Smoother, r: jax.Array, alpha: float = 1.0) -> jax.Array:
 def _invert_windows(windows: jax.Array) -> jax.Array:
     """(w, w, n) -> per-slice inverse, same layout.
 
-    Host LAPACK (setup-time): the TPU backend has no f64 LU, and these are the
-    counterparts of the reference's per-block ``la.lu`` factorizations
+    Host-side setup (native C++ batched Gauss-Jordan when built, NumPy LAPACK
+    otherwise): the TPU backend has no f64 LU, and these are the counterparts
+    of the reference's per-block ``la.lu`` factorizations
     (``smoother.jl:112,:127,:160``)."""
     import numpy as np
 
-    inv = np.linalg.inv(np.moveaxis(np.asarray(windows), -1, 0))
+    from ..ops.native import batched_inv
+
+    inv = batched_inv(np.moveaxis(np.asarray(windows), -1, 0))
     return jnp.asarray(np.moveaxis(inv, 0, -1))
 
 
