@@ -158,15 +158,16 @@ def bench_mixed_solve(n: int):
     b = prob.b
     t0 = time.time()
     res = multigrid_mixed(prob.hierarchy, h32, jnp.zeros_like(b), b, 80, 1e-10)
-    log(f"mixed solve compile+run: {time.time()-t0:.1f}s, iters={int(res.iterations)}")
+    log(f"mixed solve compile+run: {time.time()-t0:.1f}s, cycles={int(res.inner_cycles)}")
     t0 = time.time()
     res = multigrid_mixed(prob.hierarchy, h32, jnp.zeros_like(b), b, 80, 1e-10)
     dt = time.time() - t0
     it = int(res.iterations)
+    cyc = int(res.inner_cycles)
     nb = float(jnp.linalg.norm(b.T.reshape(-1)))
     rel = float(np.asarray(res.res_history)[it - 1]) / nb
-    log(f"mixed solve steady: {dt:.3f}s, {it} cycles, rel res {rel:.1e}")
-    return dt, it, prob.b.size
+    log(f"mixed solve steady: {dt:.3f}s, {cyc} V-cycles in {it} refinements, rel res {rel:.1e}")
+    return dt, cyc, prob.b.size
 
 
 def main():

@@ -31,8 +31,8 @@ def main():
     it = int(res.iterations)
     nb = float(jnp.linalg.norm(b.T.reshape(-1)))
     rel = float(np.asarray(res.res_history)[it - 1]) / nb
-    print(f"{b.size} DoF: {it} defect-correction cycles, rel res {rel:.1e}, "
-          f"{time.time() - t0:.2f}s wall (incl. compile)")
+    print(f"{b.size} DoF: {int(res.inner_cycles)} f32 V-cycles in {it} f64 refinement "
+          f"steps, rel res {rel:.1e}, {time.time() - t0:.2f}s wall (incl. compile)")
 
 
 if __name__ == "__main__":

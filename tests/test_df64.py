@@ -1,0 +1,75 @@
+"""Float-float (double-f32) arithmetic: accuracy invariants for the f64-speed
+defect path (ops/df64.py).  The reference runs all-native-f64 on CPU
+(src/solvers.jl:33); on TPU the mixed solver's defect must reach f64-class
+accuracy from f32 hardware ops — these tests pin the ~2^-48 error bound."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from agglomerationmultigrid1d_tpu.ops import df64 as ff
+from agglomerationmultigrid1d_tpu.ops.block_tridiag import BlockTridiag, bt_matvec
+
+
+def _rand_bt(rng, bs, n, spread=8.0):
+    mk = lambda: jnp.asarray(  # noqa: E731
+        rng.standard_normal((bs, bs, n)) * np.exp(rng.uniform(-3.0, spread, (bs, bs, n)))
+    )
+    return BlockTridiag(mk(), mk(), mk())
+
+
+def test_ff_split_join_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal(1000) * 10.0 ** rng.uniform(-20, 20, 1000))
+    p = ff.ff_split(x)
+    # hi is exact f32 rounding; lo carries the remainder rounded once more, so
+    # the pair reproduces x to ~2^-49 relative
+    np.testing.assert_allclose(np.asarray(ff.ff_join(p)), np.asarray(x), rtol=2e-14)
+    # |lo| <= ulp(hi)/2
+    assert np.all(np.abs(np.asarray(p.lo)) <= np.spacing(np.abs(np.asarray(p.hi))) / 2 + 1e-300)
+
+
+def test_ff_add_mul_accuracy(rng):
+    a64 = jnp.asarray(rng.standard_normal(4096) * 10.0 ** rng.uniform(-6, 6, 4096))
+    b64 = jnp.asarray(rng.standard_normal(4096) * 10.0 ** rng.uniform(-6, 6, 4096))
+    a, b = ff.ff_split(a64), ff.ff_split(b64)
+    s = np.asarray(ff.ff_join(ff.ff_add(a, b)))
+    p = np.asarray(ff.ff_join(ff.ff_mul(a, b)))
+    np.testing.assert_allclose(s, np.asarray(a64 + b64), rtol=1e-13)
+    np.testing.assert_allclose(p, np.asarray(a64 * b64), rtol=1e-13)
+
+
+@pytest.mark.parametrize("bs", [2, 4, 5])
+def test_ff_bt_matvec_matches_f64(rng, bs):
+    n = 257
+    a = _rand_bt(rng, bs, n)
+    x = jnp.asarray(rng.standard_normal((bs, n)))
+    y64 = np.asarray(bt_matvec(a, x))
+    y_ff = np.asarray(ff.ff_join(ff.ff_bt_matvec(ff.bt_split(a), ff.ff_split(x))))
+    scale = np.abs(y64).max()
+    np.testing.assert_allclose(y_ff, y64, atol=2e-14 * scale)
+
+
+def test_ff_defect_survives_catastrophic_cancellation(rng):
+    """The real workload: r = b - A x with ||r|| ~ 1e-9 ||b|| — a plain f32
+    evaluation would be 100% noise; ff must keep ~5 significant digits."""
+    bs, n = 4, 1024
+    a = _rand_bt(rng, bs, n)
+    x = jnp.asarray(rng.standard_normal((bs, n)))
+    b = jnp.asarray(bt_matvec(a, x) * (1.0 + 1e-9))
+    r64 = np.asarray(b - bt_matvec(a, x))
+
+    d = jax.jit(lambda aff, xff, bff: ff.ff_bt_defect(aff, xff, bff))
+    r_ff = np.asarray(ff.ff_join(d(ff.bt_split(a), ff.ff_split(x), ff.ff_split(b))))
+    scale = float(np.abs(np.asarray(b)).max())
+    assert np.abs(r_ff - r64).max() < 3e-14 * scale
+    # and the norm (the convergence quantity) is accurate
+    assert abs(np.linalg.norm(r_ff.T.ravel()) - np.linalg.norm(r64.T.ravel())) < 1e-5 * np.linalg.norm(r64)
+
+
+def test_ff_norm_matches_f64(rng):
+    x = jnp.asarray(rng.standard_normal((4, 512)))
+    p = ff.ff_split(x)
+    np.testing.assert_allclose(
+        float(ff.ff_norm(p)), float(jnp.linalg.norm(x.reshape(-1))), rtol=1e-12
+    )

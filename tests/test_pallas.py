@@ -80,6 +80,23 @@ def test_mixed_precision_multigrid_converges_to_f64_tol():
     assert r[-1] < 1e-10 * nb, (it, r[-1] / nb)
 
     res64 = multigrid(prob.hierarchy, jnp.zeros_like(b), b, 80, 1e-10, compute_error=False)
-    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res64.x), atol=1e-8)
-    # the mixed iteration should not need dramatically more cycles
-    assert it <= int(res64.iterations) + 8, (it, int(res64.iterations))
+    # Both runs stop on the same relative-residual criterion; for this
+    # penalty-conditioned A (CDir = 1000 n) two residual-stopped solutions may
+    # legitimately differ by ~cond(A) * tol * ||x||.  Check both are equally
+    # good solutions of the system rather than bitwise-near each other.
+    from agglomerationmultigrid1d_tpu.models.solvers import _flatten_level_vec, level_matvec
+
+    def true_rel_defect(x):
+        return float(
+            jnp.linalg.norm(_flatten_level_vec(level_matvec(prob.hierarchy.levels[0], x) - b))
+        ) / nb
+
+    assert true_rel_defect(res.x) < 1e-10
+    assert true_rel_defect(res64.x) < 1e-10
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res64.x), atol=1e-4)
+    # the mixed refinement should need far fewer f64 defects than f64 V-cycles,
+    # and not dramatically more total cycles
+    assert it <= int(res64.iterations), (it, int(res64.iterations))
+    assert int(res.inner_cycles) <= 4 * int(res64.iterations), (
+        int(res.inner_cycles), int(res64.iterations),
+    )
