@@ -27,7 +27,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from ..numerics import gauss_quad, modal_basis_derivs, modal_basis_vals
+from ..numerics import gauss_quad, modal_basis_vals_batched
 from ..ops.block_diag import BlockDiag, bd_inverse
 from .topology import Mesh1D
 
@@ -104,16 +104,15 @@ def make_agg_mesh(
     jacs = mesh.jacobians.reshape(m, r_base)
     x_quad = centers[:, :, None] + jacs[:, :, None] * qx[None, None, :]
 
-    basis_q = np.empty((m, r_base, n_q, p + 1))
-    deriv_vals = np.empty((m, p + 1))
-    bd_left = np.empty((m, p + 1))
-    bd_right = np.empty((m, p + 1))
-    for c in range(m):
-        basis_q[c] = modal_basis_vals(p, boxes[c], x_quad[c])
-        deriv_vals[c] = modal_basis_derivs(p, boxes[c])
-        bd = modal_basis_vals(p, boxes[c], boxes[c])
-        bd_left[c] = bd[0]
-        bd_right[c] = bd[1]
+    basis_q = modal_basis_vals_batched(p, boxes, x_quad)
+    bd = modal_basis_vals_batched(p, boxes, boxes)  # (m, 2, p+1)
+    bd_left, bd_right = bd[:, 0, :], bd[:, 1, :]
+    if p == 0:
+        deriv_vals = np.zeros((m, 1))
+    else:
+        deriv_vals = np.stack(
+            [np.zeros(m), 2.0 / (boxes[:, 1] - boxes[:, 0])], axis=1
+        )
 
     # mass blocks: sum over base elements of J_b * sum_l w_l phi_i phi_j
     mass_nij = np.einsum("cs,l,csli,cslj->cij", jacs, qw, basis_q, basis_q)

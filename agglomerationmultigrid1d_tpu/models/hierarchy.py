@@ -78,6 +78,7 @@ class Hierarchy(NamedTuple):
         return len(self.levels)
 
 
+@jax.jit
 def _schur_stiffness(
     g: BlockTridiag, d: BlockTridiag, c: BlockTridiag, mass_inv: BlockDiag
 ) -> BlockTridiag:

@@ -6,7 +6,7 @@ from .reference_element import (
     evaluate_nodal_basis_and_deriv,
     make_reference_element,
 )
-from .modal_basis import modal_basis_derivs, modal_basis_vals
+from .modal_basis import modal_basis_derivs, modal_basis_vals, modal_basis_vals_batched
 
 __all__ = [
     "legendre_vals",
@@ -17,5 +17,6 @@ __all__ = [
     "evaluate_nodal_basis",
     "evaluate_nodal_basis_and_deriv",
     "modal_basis_vals",
+    "modal_basis_vals_batched",
     "modal_basis_derivs",
 ]

@@ -29,6 +29,28 @@ def modal_basis_vals(p: int, box: np.ndarray, x: np.ndarray) -> np.ndarray:
     raise ValueError("agglomerated modal basis only implemented for p = 0 and p = 1")
 
 
+def modal_basis_vals_batched(p: int, boxes: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Basis values for a whole batch of agglomerates at once.
+
+    ``boxes`` is ``(m, 2)``; ``x`` is ``(m, ...)`` points inside agglomerate m.
+    Returns ``(m, ..., p + 1)``.  Replaces an m-long Python loop over
+    :func:`modal_basis_vals` in mesh/transfer setup (hot at 10^6 elements).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if p == 0:
+        return np.ones(x.shape + (1,))
+    if p == 1:
+        boxes = np.asarray(boxes, dtype=np.float64)
+        bshape = (boxes.shape[0],) + (1,) * (x.ndim - 1)
+        xc = (0.5 * (boxes[:, 0] + boxes[:, 1])).reshape(bshape)
+        h = (boxes[:, 1] - boxes[:, 0]).reshape(bshape)
+        out = np.empty(x.shape + (2,))
+        out[..., 0] = 1.0
+        out[..., 1] = 2.0 * (x - xc) / h
+        return out
+    raise ValueError("agglomerated modal basis only implemented for p = 0 and p = 1")
+
+
 def modal_basis_derivs(p: int, box: np.ndarray) -> np.ndarray:
     """Constant basis derivatives; shape ``(p + 1,)``."""
     if p == 0:

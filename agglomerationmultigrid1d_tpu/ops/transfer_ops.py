@@ -78,6 +78,7 @@ def _sandwich(ba: jax.Array, m: jax.Array, bb: jax.Array) -> jax.Array:
     return jnp.einsum("fan,fgn,gbn->abn", ba, m, bb)
 
 
+@jax.jit
 def bp_galerkin(l: BlockProlong, x: BlockTridiag) -> BlockTridiag:
     """``L^T X L`` for block-tridiagonal fine X; result is coarse block-tridiagonal.
 
@@ -150,6 +151,7 @@ def cgp_restrict(l: CgProlong, rf: jax.Array) -> jax.Array:
     return rc.at[0].add(rf[0])
 
 
+@jax.jit
 def cgp_galerkin(l: CgProlong, a: CgOperator) -> CgOperator:
     """Window-level Galerkin ``L^T A L``; exact because the fine-row restriction of
     L to element k equals ``E`` on coarse window k (see ``ops.cg_operator``)."""

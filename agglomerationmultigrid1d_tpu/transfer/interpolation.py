@@ -15,7 +15,7 @@ import numpy as np
 from ..mesh.agg_mesh import AggMesh
 from ..mesh.cg_mesh import CgMesh
 from ..mesh.dg_mesh import DgMesh
-from ..numerics import evaluate_nodal_basis, gauss_quad, modal_basis_vals
+from ..numerics import evaluate_nodal_basis, gauss_quad, modal_basis_vals_batched
 from ..ops.block_diag import bd_to_dense_blocks
 from ..ops.transfer_ops import BlockProlong, CgProlong, SeamProlong, block_prolong_constant
 
@@ -129,31 +129,26 @@ def aggdg_aggdg_interpolation(coarse: AggMesh, fine: AggMesh) -> BlockProlong:
 
 def aggdg_dg_interpolation(agg: AggMesh, base: DgMesh) -> BlockProlong:
     """Modal -> nodal evaluation of the agglomerate basis at base-element nodes."""
-    r, m, bs = agg.r_base, agg.n_agg, agg.block_size
-    w = base.p + 1
+    r, m = agg.r_base, agg.n_agg
     centers = base.mesh.centers.reshape(m, r)
     jacs = base.mesh.jacobians.reshape(m, r)
     xn = centers[:, :, None] + jacs[:, :, None] * base.ref.nodes_x[None, None, :]
-    blocks = np.empty((m, r, w, bs))
-    for c in range(m):
-        blocks[c] = modal_basis_vals(agg.p, agg.boxes[c], xn[c])
+    blocks = modal_basis_vals_batched(agg.p, agg.boxes, xn)  # (m, r, w, bs)
     return BlockProlong(jnp.asarray(np.moveaxis(blocks, (0, 1), (-1, 0))))
 
 
 def aggdg_dg_interpolation2(agg: AggMesh, base: DgMesh) -> BlockProlong:
     """L2-projection variant through the base mass (``interpolation.jl:294-324``)."""
-    r, m, bs = agg.r_base, agg.n_agg, agg.block_size
+    r, m = agg.r_base, agg.n_agg
     w = base.p + 1
     ref = base.ref
     centers = base.mesh.centers.reshape(m, r)
     jacs = base.mesh.jacobians.reshape(m, r)
     xq = centers[:, :, None] + jacs[:, :, None] * ref.quad_nodes[None, None, :]
-    n_blocks = np.empty((m, r, w, bs))
-    for c in range(m):
-        agg_b = modal_basis_vals(agg.p, agg.boxes[c], xq[c])  # (r, n_q, bs)
-        n_blocks[c] = np.einsum(
-            "s,l,li,slm->sim", jacs[c], ref.quad_weights, ref.basis_at_quad, agg_b
-        )
+    agg_b = modal_basis_vals_batched(agg.p, agg.boxes, xq)  # (m, r, n_q, bs)
+    n_blocks = np.einsum(
+        "cs,l,li,cslm->csim", jacs, ref.quad_weights, ref.basis_at_quad, agg_b
+    )
     minv = np.asarray(bd_to_dense_blocks(base.mass_inv)).reshape(m, r, w, w)
     l_blocks = np.einsum("cjik,cjkm->cjim", minv, n_blocks)
     return BlockProlong(jnp.asarray(np.moveaxis(l_blocks, (0, 1), (-1, 0))))
@@ -173,10 +168,8 @@ def aggdg_cg_interpolation(agg: AggMesh, base: CgMesh, interp_flag: int = 1) -> 
     if interp_flag == 1:
         xq = centers[:, :, None] + jacs[:, :, None] * ref.quad_nodes[None, None, :]
         cg_b = ref.basis_at_quad[:, ref.pos_to_slot]  # (n_q, w_cg) position order
-        n_win = np.empty((m, r, w_cg, bs))
-        for c in range(m):
-            agg_b = modal_basis_vals(agg.p, agg.boxes[c], xq[c])  # (r, n_q, bs)
-            n_win[c] = np.einsum("s,l,la,slm->sam", jacs[c], ref.quad_weights, cg_b, agg_b)
+        agg_b = modal_basis_vals_batched(agg.p, agg.boxes, xq)  # (m, r, n_q, bs)
+        n_win = np.einsum("cs,l,la,cslm->csam", jacs, ref.quad_weights, cg_b, agg_b)
         # (m, r, w_cg, bs) -> (w_cg, bs, r, m)
         n_win = jnp.asarray(n_win.transpose(2, 3, 1, 0))
         return SeamProlong(n_win=n_win, inv_lump=1.0 / base.lumped_mass)
@@ -184,9 +177,7 @@ def aggdg_cg_interpolation(agg: AggMesh, base: CgMesh, interp_flag: int = 1) -> 
         x_pos = ref.nodes_x[ref.pos_to_slot]
         xn = centers[:, :, None] + jacs[:, :, None] * x_pos[None, None, :]
         n_el = base.n_elements
-        e = np.empty((m, r, w_cg, bs))
-        for c in range(m):
-            e[c] = modal_basis_vals(agg.p, agg.boxes[c], xn[c])
+        e = modal_basis_vals_batched(agg.p, agg.boxes, xn)  # (m, r, w_cg, bs)
         weights = np.ones((n_el, w_cg))
         weights[1:, 0] = 0.5
         weights[:-1, -1] = 0.5

@@ -32,7 +32,13 @@ from agglomerationmultigrid1d_tpu.models.hierarchy import _schur_stiffness
 from agglomerationmultigrid1d_tpu.ops import bt_matvec
 from agglomerationmultigrid1d_tpu.ops.pallas import pallas_block_jacobi_sweep
 from agglomerationmultigrid1d_tpu.smoothers import BlockJacobiSmoother, apply_smoother, dg_smoother
-from agglomerationmultigrid1d_tpu.utils.host import on_host, to_accelerator
+from agglomerationmultigrid1d_tpu.utils.host import (
+    enable_compilation_cache,
+    on_host,
+    to_accelerator,
+)
+
+enable_compilation_cache()
 
 SMALL = bool(os.environ.get("AGGMG_BENCH_SMALL"))
 
