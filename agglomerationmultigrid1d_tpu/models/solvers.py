@@ -74,20 +74,24 @@ def _unflatten_level_vec(flat, like):
     return flat.reshape(n, bs).T
 
 
+def _pallas_smooth_ok(level, u, use_pallas):
+    from ..smoothers.smoother import BlockJacobiSmoother
+
+    return (
+        use_pallas
+        and isinstance(level, BlockLevel)
+        and isinstance(level.smoother, BlockJacobiSmoother)
+        and u.dtype == jnp.float32
+    )
+
+
 def _smooth_n(level, u, rhs, n_sweeps, alpha, use_pallas):
     """``n_sweeps`` damped smoother applications ``u += alpha S (rhs - A u)``.
 
     On block levels with a block-Jacobi smoother and f32 data, all sweeps fuse
     into ONE temporally-blocked Pallas pass over HBM (~n_sweeps x the effective
     throughput of the sweep-at-a-time formulation)."""
-    from ..smoothers.smoother import BlockJacobiSmoother
-
-    if (
-        use_pallas
-        and isinstance(level, BlockLevel)
-        and isinstance(level.smoother, BlockJacobiSmoother)
-        and u.dtype == jnp.float32
-    ):
+    if _pallas_smooth_ok(level, u, use_pallas):
         from ..ops.pallas import pallas_block_jacobi_multisweep
 
         return pallas_block_jacobi_multisweep(
@@ -96,6 +100,19 @@ def _smooth_n(level, u, rhs, n_sweeps, alpha, use_pallas):
     for _ in range(n_sweeps):
         u = u + apply_smoother(level.smoother, rhs - level_matvec(level, u), alpha=alpha)
     return u
+
+
+def _smooth_n_residual(level, u, rhs, n_sweeps, alpha, use_pallas):
+    """``_smooth_n`` fused with the post-smoothing residual ``rhs - A u``
+    (one HBM pass on the Pallas path — the restrict-side matvec is free)."""
+    if _pallas_smooth_ok(level, u, use_pallas):
+        from ..ops.pallas import pallas_block_jacobi_multisweep_residual
+
+        return pallas_block_jacobi_multisweep_residual(
+            level.a, level.smoother.inv, u, rhs, n_sweeps=n_sweeps, alpha=alpha
+        )
+    u = _smooth_n(level, u, rhs, n_sweeps, alpha, use_pallas)
+    return u, rhs - _level_matvec_opt(level, u, use_pallas)
 
 
 def _level_matvec_opt(level, x, use_pallas):
@@ -126,10 +143,8 @@ def v_cycle(
         level = h.levels[k]
         if k > 0:
             u[k] = jnp.zeros_like(rhs[k])
-        u[k] = _smooth_n(level, u[k], rhs[k], n_pre, alpha, use_pallas)
-        rhs[k + 1] = transfer_restrict(
-            h.transfers[k], rhs[k] - _level_matvec_opt(level, u[k], use_pallas)
-        )
+        u[k], r_k = _smooth_n_residual(level, u[k], rhs[k], n_pre, alpha, use_pallas)
+        rhs[k + 1] = transfer_restrict(h.transfers[k], r_k)
 
     # coarsest level: replicated dense direct solve (cf. solvers.jl:39)
     flat = _flatten_level_vec(rhs[n - 1])

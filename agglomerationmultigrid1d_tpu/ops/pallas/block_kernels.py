@@ -161,7 +161,8 @@ def pallas_bt_matvec(a: BlockTridiag, x: jax.Array, interpret: bool = False) -> 
 
 def _wide_sweep_kernel(
     adc, adl, adr, alc, all_, alr, auc, aul, aur, bic, bil, bir,
-    xc, xl, xr, bc, bl, br, out, *, alpha, bs, n_sweeps, halo, tile,
+    xc, xl, xr, bc, bl, br, *outs, alpha, bs, n_sweeps, halo, tile,
+    emit_residual=False,
 ):
     i = pl.program_id(0)
     w = tile + 2 * halo
@@ -187,16 +188,25 @@ def _wide_sweep_kernel(
             acc = acc + m[:, j, :] * v[j : j + 1, :]
         return acc
 
-    for _ in range(n_sweeps):
+    def residual(xw):
         xm = pltpu.roll(xw, jnp.int32(1), axis=1)
         xm = jnp.where(gcol - 1 >= 0, xm, 0.0)
         xp = pltpu.roll(xw, jnp.int32(w - 1), axis=1)
         xp = jnp.where(gcol + 1 < n_total, xp, 0.0)
-        r = bw - mat(ad, xw) - mat(al, xm) - mat(au, xp)
+        return bw - mat(ad, xw) - mat(al, xm) - mat(au, xp)
+
+    for _ in range(n_sweeps):
+        r = residual(xw)
         xw = xw + alpha * mat(bi, r)
         xw = jnp.where(valid, xw, 0.0)
 
-    out[...] = xw[:, halo : halo + tile]
+    outs[0][...] = xw[:, halo : halo + tile]
+    if emit_residual:
+        # A is already resident: one more in-register residual saves the
+        # separate full-HBM-pass matvec of the V-cycle's restrict step.
+        # After n_sweeps the widened iterate is valid on [n_sweeps, w - n_sweeps),
+        # so the center residual (needing +-1 columns) is exact for halo > n_sweeps.
+        outs[1][...] = residual(xw)[:, halo : halo + tile]
 
 
 def _halo_specs(bs: int, tile: int, halo: int):
@@ -230,12 +240,27 @@ def pallas_block_jacobi_multisweep(
     n_sweeps: int = 3, alpha: float = 2.0 / 3.0, interpret: bool = False,
 ) -> jax.Array:
     """k fused damped block-Jacobi sweeps in one HBM pass (k <= 8)."""
+    return _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, False)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "n_sweeps", "interpret"))
+def pallas_block_jacobi_multisweep_residual(
+    a: BlockTridiag, s_inv: jax.Array, x: jax.Array, b: jax.Array,
+    n_sweeps: int = 3, alpha: float = 2.0 / 3.0, interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Like :func:`pallas_block_jacobi_multisweep` but also returns
+    ``r = b - A x_new`` computed in the same pass (the operator tiles are
+    already in VMEM), saving the V-cycle's separate restrict-side matvec."""
+    return _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, True)
+
+
+def _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, emit_residual):
     bs, _, n = a.diag.shape
     halo = 128  # last-dim block sizes must be multiples of 128 on TPU
     tile = _pick_tile(bs, n, x.dtype)
     if (
         x.dtype != jnp.float32
-        or n_sweeps > halo
+        or n_sweeps >= halo
         or tile % halo != 0
         or n % tile != 0
         or n < 2 * tile
@@ -245,6 +270,8 @@ def pallas_block_jacobi_multisweep(
         sm = BlockJacobiSmoother(inv=s_inv)
         for _ in range(n_sweeps):
             x = x + apply_smoother(sm, b - bt_matvec(a, x), alpha)
+        if emit_residual:
+            return x, b - bt_matvec(a, x)
         return x
 
     (m_c, m_l, m_r), (v_c, v_l, v_r) = _halo_specs(bs, tile, halo)
@@ -253,18 +280,23 @@ def pallas_block_jacobi_multisweep(
         + [v_c, v_l, v_r] * 2  # x, b
     )
     kernel = functools.partial(
-        _wide_sweep_kernel, alpha=alpha, bs=bs, n_sweeps=n_sweeps, halo=halo, tile=tile
+        _wide_sweep_kernel, alpha=alpha, bs=bs, n_sweeps=n_sweeps, halo=halo, tile=tile,
+        emit_residual=emit_residual,
     )
     args = []
     for arr in (a.diag, a.lower, a.upper, s_inv):
         args += [arr, arr, arr]
     args += [x, x, x, b, b, b]
+    shape = jax.ShapeDtypeStruct((bs, n), x.dtype)
+    out_specs = [v_c, v_c] if emit_residual else v_c
+    out_shape = [shape, shape] if emit_residual else shape
     with _x32_scope():
-        return pl.pallas_call(
+        res = pl.pallas_call(
             kernel,
             grid=(n // tile,),
             in_specs=in_specs,
-            out_specs=v_c,
-            out_shape=jax.ShapeDtypeStruct((bs, n), x.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
         )(*args)
+    return tuple(res) if emit_residual else res
