@@ -348,56 +348,88 @@ def _mixed_loop_ff(
     trips per iteration: through the remote-TPU tunnel a single scalar sync
     costs ~25 ms, which dwarfs the 2 ms defect itself.
 
+    The outer loop is *guarded* refinement: each proposed correction is
+    evaluated against the trustworthy float-float defect, and corrections that
+    grow the residual are rolled back (the f32 V-cycle is not a contraction for
+    severely ill-conditioned fine operators, and at cond(A) >~ 1/eps_f32 the
+    inner f32 residual measurements are pure noise — only the outer ff defect
+    can arbitrate).  Rejected steps retry from the best iterate with a halved
+    correction and a single inner cycle; three consecutive rejections end the
+    iteration at the best iterate found.
+
     Returns ``(x_ff, outer, cycles, res_history_scaled)`` where the history
-    holds ``||r|| / ||b||`` (f32) per outer step.
+    holds the best ``||r|| / ||b||`` (f32) per outer step.
     """
-    from ..ops.df64 import FF, ff_add, ff_bt_defect
+    from ..ops.df64 import FF, ff_add, ff_defect
 
     kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas)
     nan32 = jnp.full((maxiter,), jnp.nan, dtype=jnp.float32)
     tol32 = jnp.asarray(tol, jnp.float32)
     it32 = jnp.asarray(inner_tol, jnp.float32)
+    big32 = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
 
     def rel_defect(x_ff):
-        r_ff = ff_bt_defect(a_ff, x_ff, b_ff)
+        r_ff = ff_defect(a_ff, x_ff, b_ff)
         # relative norm from the hi part only: the check needs ~3 digits, lo
         # is 1e-7 relative; pre-scaling keeps squares in f32 range
         rs = jnp.linalg.norm(_flatten_level_vec(r_ff.hi) * inv_norm_b)
         return r_ff, rs
 
-    def body(state):
-        x_ff, i, cycles, limit, res_h, _ = state
-        r_ff, rel = rel_defect(x_ff)
-        res_h = jax.lax.cond(
-            i > 0, lambda h: h.at[i - 1].set(rel), lambda h: h, res_h
-        )
-        converged = jnp.logical_or(rel < tol32, cycles >= maxiter)
+    def tree_where(c, new, old):
+        return jax.tree_util.tree_map(lambda a, b: jnp.where(c, a, b), new, old)
 
-        probe = jnp.where(jnp.equal(jnp.remainder(i, 4), 0), 1, 0)
-        cap = jnp.minimum(limit + probe, max_inner)
-        e, n_cyc, i_best = _mixed_inner_solve(h_low, r_ff.hi, it32, cap, **kw)
-        x_new = ff_add(x_ff, FF(e, jnp.zeros_like(e)))
-        # freeze state once converged (the loop still runs this body iteration)
-        x_ff = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(converged, old, new), x_new, x_ff
+    def body(state):
+        x_cur, x_best, r_best, rel_best, i, cycles, limit, streak, res_h, _ = state
+
+        # evaluate the previous proposal against the f64-accurate defect
+        r_ff, rel = rel_defect(x_cur)
+        improved = rel < rel_best
+        x_best = tree_where(improved, x_cur, x_best)
+        r_best = tree_where(improved, r_ff, r_best)
+        rel_best = jnp.minimum(rel, rel_best)
+        streak = jnp.where(improved, 0, streak + 1)
+        res_h = jax.lax.cond(
+            i > 0, lambda h: h.at[i - 1].set(rel_best), lambda h: h, res_h
         )
-        cycles = jnp.where(converged, cycles, cycles + n_cyc)
-        limit = jnp.where(converged, limit, jnp.maximum(1, i_best))
-        i = jnp.where(converged, i, i + 1)
-        return x_ff, i, cycles, limit, res_h, converged
+        done = (rel_best < tol32) | (streak >= 3) | (cycles >= maxiter)
+
+        # next proposal, from the best iterate; rejected steps retry with a
+        # single inner cycle and a damped correction
+        probe = jnp.where(jnp.equal(jnp.remainder(i, 4), 0) & improved, 1, 0)
+        cap = jnp.minimum(jnp.where(improved, limit, 1) + probe, max_inner)
+        e, n_cyc, i_best = _mixed_inner_solve(h_low, r_best.hi, it32, cap, **kw)
+        scale = jnp.where(streak > 0, 0.5**streak, 1.0).astype(e.dtype)
+        x_new = ff_add(x_best, FF(scale * e, jnp.zeros_like(e)))
+
+        # freeze once done (the loop still executes this body iteration)
+        x_cur = tree_where(done, x_cur, x_new)
+        cycles = jnp.where(done, cycles, cycles + n_cyc)
+        limit = jnp.where(done | ~improved, jnp.maximum(limit, 1), jnp.maximum(1, i_best))
+        i = jnp.where(done, i, i + 1)
+        return x_cur, x_best, r_best, rel_best, i, cycles, limit, streak, res_h, done
 
     def cond(state):
-        _, i, _, _, _, converged = state
-        return jnp.logical_and(i < maxiter, jnp.logical_not(converged))
+        i, done = state[4], state[-1]
+        return jnp.logical_and(i < maxiter, jnp.logical_not(done))
 
-    state = (x_ff, jnp.array(0), jnp.array(0), jnp.array(max_inner), nan32, jnp.array(False))
-    x_ff, outer, cycles, _, res_h, _ = jax.lax.while_loop(cond, body, state)
-    # record the converged defect (the loop exits before writing it)
-    _, rel = rel_defect(x_ff)
-    res_h = jax.lax.cond(
-        outer > 0, lambda h: h.at[outer - 1].set(rel), lambda h: h, res_h
+    zeros_r = jax.tree_util.tree_map(jnp.zeros_like, x_ff)
+    state = (
+        x_ff, x_ff, zeros_r, big32,
+        jnp.array(0), jnp.array(0), jnp.array(max_inner), jnp.array(0),
+        nan32, jnp.array(False),
     )
-    return x_ff, outer, cycles, res_h
+    x_cur, x_best, _, rel_best, outer, cycles, _, _, res_h, _ = jax.lax.while_loop(
+        cond, body, state
+    )
+    # the final proposal may beat the recorded best; keep whichever is better
+    _, rel_last = rel_defect(x_cur)
+    final_better = rel_last < rel_best
+    x_out = tree_where(final_better, x_cur, x_best)
+    rel_out = jnp.minimum(rel_last, rel_best)
+    res_h = jax.lax.cond(
+        outer > 0, lambda h: h.at[outer - 1].set(rel_out), lambda h: h, res_h
+    )
+    return x_out, outer, cycles, res_h
 
 
 @functools.partial(jax.jit, static_argnames=("n_pre", "n_post", "alpha", "use_pallas"))
@@ -494,7 +526,7 @@ def multigrid_mixed(
     """
     import numpy as np
 
-    from ..ops.df64 import bt_split, ff_join, ff_split
+    from ..ops.df64 import bt_split, cg_band_split, ff_join, ff_split
 
     low_dtype = jax.tree_util.tree_leaves(h_low.levels[0].a)[0].dtype
     fine = h.levels[0]
@@ -502,9 +534,9 @@ def multigrid_mixed(
     err_h = np.full((maxiter,), np.nan)
     kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas)
 
-    if isinstance(fine, BlockLevel) and low_dtype == jnp.float32:
+    if isinstance(fine, (BlockLevel, CgLevel)) and low_dtype == jnp.float32:
         # float-float fast path: the entire refinement is one on-device program
-        a_ff = bt_split(fine.a)
+        a_ff = cg_band_split(fine.a.band) if isinstance(fine, CgLevel) else bt_split(fine.a)
         b_ff = ff_split(b)
         x_ff = ff_split(x0.astype(jnp.float64))
         x_ff, outer, cycles, res_scaled = _mixed_loop_ff(
@@ -520,8 +552,8 @@ def multigrid_mixed(
             inner_cycles=cycles,
         )
 
-    # generic path (CG-topped hierarchies / non-f32 inner): host outer loop over
-    # per-precision programs, one emulated-f64 defect per outer step
+    # generic path (non-f32 inner dtypes): host outer loop over per-precision
+    # programs, one emulated-f64 defect per outer step
     x = x0
     res_h = np.full((maxiter,), np.nan)
     cycles = 0

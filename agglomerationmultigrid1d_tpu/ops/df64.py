@@ -166,6 +166,44 @@ def ff_bt_defect(a: BlockTridiagFF, x: FF, b: FF) -> FF:
     return acc
 
 
+class CgBandFF(NamedTuple):
+    """An assembled CG DIA band (see ops.cg_operator) with float-float entries."""
+
+    hi: jax.Array  # (2p+1, n_nodes) f32
+    lo: jax.Array  # (2p+1, n_nodes) f32
+
+
+def cg_band_split(band: jax.Array) -> CgBandFF:
+    p = ff_split(band)
+    return CgBandFF(p.hi, p.lo)
+
+
+def ff_cg_defect(a: CgBandFF, x: FF, b: FF) -> FF:
+    """``r = b - A x`` for a scalar-banded CG operator in float-float.
+
+    Mirrors :func:`ops.cg_operator.cg_matvec`: 2p+1 shifted MACs, each fenced
+    like :func:`_contract_ff` (same XLA:CPU reassociation hazard)."""
+    p = a.hi.shape[0] // 2
+    acc = b
+    for off in range(-p, p + 1):
+        band = FF(a.hi[off + p], a.lo[off + p])
+        xs = FF(shift(x.hi, off), shift(x.lo, off))
+        t = ff_mul(band, xs)
+        t = FF(*jax.lax.optimization_barrier((t.hi, t.lo)))
+        acc = ff_add(acc, ff_neg(t))
+        acc = FF(*jax.lax.optimization_barrier((acc.hi, acc.lo)))
+    return acc
+
+
+def ff_defect(a, x: FF, b: FF) -> FF:
+    """Dispatch ``r = b - A x`` on the float-float operator type."""
+    if isinstance(a, BlockTridiagFF):
+        return ff_bt_defect(a, x, b)
+    if isinstance(a, CgBandFF):
+        return ff_cg_defect(a, x, b)
+    raise TypeError(type(a))
+
+
 def ff_norm(x: FF) -> jax.Array:
     """2-norm of a float-float vector, returned as f64.
 

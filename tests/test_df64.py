@@ -73,3 +73,41 @@ def test_ff_norm_matches_f64(rng):
     np.testing.assert_allclose(
         float(ff.ff_norm(p)), float(jnp.linalg.norm(x.reshape(-1))), rtol=1e-12
     )
+
+
+def test_ff_cg_defect_matches_f64(rng):
+    """Scalar-banded (CG) float-float defect against the f64 reference."""
+    from agglomerationmultigrid1d_tpu.assembly import cg_stiffness
+    from agglomerationmultigrid1d_tpu.mesh import BoundaryCondition, create_uniform_mesh, make_cg_mesh
+    from agglomerationmultigrid1d_tpu.ops.cg_operator import cg_matvec
+
+    mesh = create_uniform_mesh(64, 0.0, 1.0)
+    cg = make_cg_mesh(mesh, 4)
+    a = cg_stiffness(cg, BoundaryCondition(("neu", 0.0), ("dir", 1.0)))
+    x = jnp.asarray(rng.standard_normal(a.n_nodes))
+    b = jnp.asarray(cg_matvec(a, x) * (1.0 + 1e-9))
+    r64 = np.asarray(b - cg_matvec(a, x))
+
+    a_ff = ff.cg_band_split(a.band)
+    d = jax.jit(lambda A, X, B: ff.ff_cg_defect(A, X, B))
+    r_ff = np.asarray(ff.ff_join(d(a_ff, ff.ff_split(x), ff.ff_split(b))))
+    scale = float(np.abs(np.asarray(b)).max())
+    assert np.abs(r_ff - r64).max() < 1e-13 * scale
+
+
+def test_mixed_solver_cg_topped_uses_ff_path():
+    """The flagship CG-topped hierarchy converges through the fused ff loop."""
+    from agglomerationmultigrid1d_tpu.models.problems import poisson_full_hierarchy
+    from agglomerationmultigrid1d_tpu.models.solvers import (
+        make_low_precision_hierarchy,
+        multigrid_mixed,
+    )
+
+    prob = poisson_full_hierarchy(n=64)
+    h32 = make_low_precision_hierarchy(prob.hierarchy)
+    b = prob.b
+    res = multigrid_mixed(prob.hierarchy, h32, jnp.zeros_like(b), b, 60, 1e-10, use_pallas=False)
+    it = int(res.iterations)
+    nb = float(jnp.linalg.norm(b))
+    assert np.asarray(res.res_history)[it - 1] < 1e-10 * nb
+    assert int(res.inner_cycles) >= it
