@@ -35,6 +35,14 @@ import jax as _jax
 if not _os.environ.get("AGGMG_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls/einsums default to single-pass bf16-mantissa MXU arithmetic
+# (~1e-3 relative error); every contraction here (transfers, Galerkin triple
+# products, block matvecs) feeds a solver with 1e-10 relative-residual targets,
+# where that noise makes the f32 V-cycle non-contractive.  Force true-f32
+# contractions (set AGGMG_FAST_MATMUL=1 to restore the hardware default).
+if not _os.environ.get("AGGMG_FAST_MATMUL"):
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 # Multilevel V-cycles are large fused graphs; persistent compilation caching
 # makes repeat runs (and every run after the first on a given config) instant.
 if not _os.environ.get("AGGMG_NO_COMPILE_CACHE"):

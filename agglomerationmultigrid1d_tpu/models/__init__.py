@@ -26,9 +26,11 @@ from .solvers import (
     level_matvec,
     mg_preconditioner,
     multigrid,
+    multigrid_progressive,
     transfer_prolong,
     transfer_restrict,
     v_cycle,
+    v_cycle_ff,
 )
 
 __all__ = [name for name in dir() if not name.startswith("_")]

@@ -482,6 +482,185 @@ def _mixed_update(x, e):
     return x + e.astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Progressive precision: float-float V-cycle with f32 smoothers
+# ---------------------------------------------------------------------------
+
+
+def _ff_zeros_like(x):
+    from ..ops.df64 import FF
+
+    return FF(jnp.zeros_like(x.hi), jnp.zeros_like(x.lo))
+
+
+def _smooth_ff(level, a_ff, u_ff, rhs_ff, n_sweeps, alpha, use_pallas):
+    """Low-precision smoothing as a float-float-accumulated correction.
+
+    The sweeps themselves run entirely in f32 on the hi parts (Pallas fast
+    path) — a rounding-level perturbation of the smoother only nudges the
+    contraction factor — but the result is folded into the ff iterate so the
+    smooth-mode information of ``u`` is never truncated to f32."""
+    from ..ops.df64 import FF, ff_add
+
+    u32 = _smooth_n(level, u_ff.hi, rhs_ff.hi, n_sweeps, alpha, use_pallas)
+    delta = u32 - u_ff.hi
+    return ff_add(u_ff, FF(delta, jnp.zeros_like(delta)))
+
+
+def v_cycle_ff(
+    h_low: Hierarchy,
+    a_ffs,
+    u_ff,
+    rhs_ff,
+    *,
+    n_pre: int = 3,
+    n_post: int = 3,
+    alpha: float = 2.0 / 3.0,
+    use_pallas: bool = False,
+):
+    """One *progressive-precision* V-cycle.
+
+    Identical control flow to :func:`v_cycle`, but every residual, transfer,
+    and iterate update runs in float-float (~2^-48) arithmetic while the
+    smoother sweeps and the coarse solve run in f32.  This is what makes
+    multigrid work in low precision on severely ill-conditioned operators
+    (cond(A) >> 1/eps_f32, e.g. high-order CG stiffness at 10^5+ DoF): a pure
+    f32 V-cycle loses the smooth-mode content of residuals at restriction and
+    its error operator stops being a contraction, whereas here the correction
+    hierarchy sees f64-class defects throughout (the TPU-native realization of
+    progressive-precision multigrid).
+
+    ``a_ffs`` is a tuple of per-level float-float operators split from the f64
+    hierarchy; smoothers/transfers/coarse come from the f32 ``h_low``.
+    """
+    from ..ops.df64 import FF, ff_add, ff_defect
+
+    n = h_low.n_levels
+    u = [None] * n
+    rhs = [None] * n
+    u[0], rhs[0] = u_ff, rhs_ff
+
+    for k in range(n - 1):
+        level = h_low.levels[k]
+        if k > 0:
+            u[k] = _ff_zeros_like(rhs[k])
+        u[k] = _smooth_ff(level, a_ffs[k], u[k], rhs[k], n_pre, alpha, use_pallas)
+        r_ff = ff_defect(a_ffs[k], u[k], rhs[k])
+        t = h_low.transfers[k]
+        rhs[k + 1] = FF(transfer_restrict(t, r_ff.hi), transfer_restrict(t, r_ff.lo))
+
+    # coarsest: f32 dense solve + one ff-defect refinement step (the coarse
+    # operator is small and mildly conditioned, so two f32 solves against an
+    # ff defect give an f64-class coarse correction)
+    r = rhs[n - 1]
+    like = r.hi
+    e1 = _unflatten_level_vec(coarse_solve(h_low.coarse, _flatten_level_vec(r.hi)), like)
+    e_ff = FF(e1, jnp.zeros_like(e1))
+    d = ff_defect(a_ffs[n - 1], e_ff, r)
+    e2 = _unflatten_level_vec(coarse_solve(h_low.coarse, _flatten_level_vec(d.hi)), like)
+    u[n - 1] = ff_add(e_ff, FF(e2, jnp.zeros_like(e2)))
+
+    for k in range(n - 2, -1, -1):
+        level = h_low.levels[k]
+        t = h_low.transfers[k]
+        corr = FF(transfer_prolong(t, u[k + 1].hi), transfer_prolong(t, u[k + 1].lo))
+        u[k] = ff_add(u[k], corr)
+        u[k] = _smooth_ff(level, a_ffs[k], u[k], rhs[k], n_post, alpha, use_pallas)
+    return u[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("maxiter", "n_pre", "n_post", "alpha", "use_pallas")
+)
+def _progressive_loop(
+    h_low, a_ffs, x_ff, b_ff, inv_norm_b,
+    *, maxiter, tol, n_pre, n_post, alpha, use_pallas,
+):
+    from ..ops.df64 import ff_add, ff_defect
+
+    nan32 = jnp.full((maxiter,), jnp.nan, dtype=jnp.float32)
+    tol32 = jnp.asarray(tol, jnp.float32)
+
+    def body(state):
+        x_ff, i, res_h, _ = state
+        # Each cycle solves the CORRECTION equation A e = r from zero: with a
+        # well-scaled rhs every in-cycle f32 cancellation is relative to the
+        # current residual, so the per-cycle contraction holds all the way to
+        # the ff defect's ~2^-48 floor.  (Cycling on x directly stalls at
+        # ~1e-6: the fine-level smoother's internal f32 defect b - A x is
+        # noise once x has converged past f32.)
+        r_ff = ff_defect(a_ffs[0], x_ff, b_ff)
+        rel = jnp.linalg.norm(_flatten_level_vec(r_ff.hi) * inv_norm_b)
+        res_h = jax.lax.cond(i > 0, lambda h: h.at[i - 1].set(rel), lambda h: h, res_h)
+        done = rel < tol32
+        e_ff = v_cycle_ff(
+            h_low, a_ffs, _ff_zeros_like(r_ff), r_ff,
+            n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas,
+        )
+        x_new = ff_add(x_ff, e_ff)
+        x_ff = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(done, old, new), x_new, x_ff
+        )
+        i = jnp.where(done, i, i + 1)
+        return x_ff, i, res_h, done
+
+    def cond(state):
+        _, i, _, done = state
+        return jnp.logical_and(i < maxiter, jnp.logical_not(done))
+
+    x_ff, it, res_h, _ = jax.lax.while_loop(
+        cond, body, (x_ff, jnp.array(0), nan32, jnp.array(False))
+    )
+    r_ff = ff_defect(a_ffs[0], x_ff, b_ff)
+    rel = jnp.linalg.norm(_flatten_level_vec(r_ff.hi) * inv_norm_b)
+    res_h = jax.lax.cond(it > 0, lambda h: h.at[it - 1].set(rel), lambda h: h, res_h)
+    return x_ff, it, res_h
+
+
+def multigrid_progressive(
+    h: Hierarchy,
+    h_low: Hierarchy,
+    x0: jax.Array,
+    b: jax.Array,
+    maxiter: int = 100,
+    tol: float = 1e-10,
+    *,
+    n_pre: int = 3,
+    n_post: int = 3,
+    alpha: float = 2.0 / 3.0,
+    use_pallas: bool = True,
+) -> MultigridResult:
+    """Multigrid with progressive-precision V-cycles: f32 smoother sweeps and
+    coarse solves, float-float everything else.  Converges like the all-f64
+    iteration (same per-cycle contraction, same 1e-10 tolerances) at close to
+    f32 speed, on operators where :func:`multigrid_mixed`'s f32 inner V-cycle
+    is not a contraction at all.  ``iterations`` counts V-cycles, matching the
+    reference's observability contract (``src/solvers.jl:116-139``)."""
+    import numpy as np
+
+    from ..ops.df64 import bt_split, cg_band_split, ff_join, ff_split
+
+    a_ffs = tuple(
+        cg_band_split(lv.a.band) if isinstance(lv, CgLevel) else bt_split(lv.a)
+        for lv in h.levels
+    )
+    norm_b = float(jnp.linalg.norm(_flatten_level_vec(b)))
+    x_ff, it, res_scaled = _progressive_loop(
+        h_low, a_ffs, ff_split(x0.astype(jnp.float64)), ff_split(b),
+        jnp.asarray(1.0 / norm_b, jnp.float32),
+        maxiter=maxiter, tol=tol, n_pre=n_pre, n_post=n_post, alpha=alpha,
+        use_pallas=use_pallas,
+    )
+    err_h = np.full((maxiter,), np.nan)
+    return MultigridResult(
+        x=ff_join(x_ff),
+        iterations=it,
+        res_history=jnp.asarray(np.asarray(res_scaled, dtype=np.float64) * norm_b),
+        err_history=jnp.asarray(err_h),
+        inner_cycles=it,
+    )
+
+
 def multigrid_mixed(
     h: Hierarchy,
     h_low: Hierarchy,
@@ -539,17 +718,41 @@ def multigrid_mixed(
         a_ff = cg_band_split(fine.a.band) if isinstance(fine, CgLevel) else bt_split(fine.a)
         b_ff = ff_split(b)
         x_ff = ff_split(x0.astype(jnp.float64))
+        inv_nb = jnp.asarray(1.0 / norm_b, jnp.float32)
         x_ff, outer, cycles, res_scaled = _mixed_loop_ff(
-            h_low, a_ff, x_ff, b_ff,
-            jnp.asarray(1.0 / norm_b, jnp.float32),
+            h_low, a_ff, x_ff, b_ff, inv_nb,
             maxiter=maxiter, tol=tol, inner_tol=inner_tol, max_inner=max_inner, **kw,
         )
+        outer_i, cycles_i = int(outer), int(cycles)
+        res_h = np.asarray(res_scaled, dtype=np.float64) * norm_b
+        rel_out = res_h[outer_i - 1] / norm_b if outer_i > 0 else np.inf
+        remaining = maxiter - max(cycles_i, outer_i)
+        if rel_out > tol and remaining > 0:
+            # the f32 inner V-cycle is not a contraction for this operator
+            # (cond(A) >~ 1/eps_f32): continue with progressive-precision
+            # cycles, which converge like f64 at ~f32 cost (see v_cycle_ff)
+            from ..ops.df64 import bt_split as _bts, cg_band_split as _cgs
+
+            a_ffs = tuple(
+                _cgs(lv.a.band) if isinstance(lv, CgLevel) else _bts(lv.a)
+                for lv in h.levels
+            )
+            x_ff, it2, res2 = _progressive_loop(
+                h_low, a_ffs, x_ff, b_ff, inv_nb,
+                maxiter=remaining, tol=tol, **kw,
+            )
+            it2_i = int(it2)
+            res_h[outer_i : outer_i + it2_i] = (
+                np.asarray(res2, dtype=np.float64)[:it2_i] * norm_b
+            )
+            outer_i += it2_i
+            cycles_i += it2_i
         return MultigridResult(
             x=ff_join(x_ff),
-            iterations=outer,
-            res_history=jnp.asarray(np.asarray(res_scaled, dtype=np.float64) * norm_b),
+            iterations=jnp.array(outer_i),
+            res_history=jnp.asarray(res_h),
             err_history=jnp.asarray(err_h),
-            inner_cycles=cycles,
+            inner_cycles=jnp.array(cycles_i),
         )
 
     # generic path (non-f32 inner dtypes): host outer loop over per-precision

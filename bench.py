@@ -176,6 +176,32 @@ def bench_mixed_solve(n: int):
     return dt, cyc, prob.b.size
 
 
+def bench_flagship_solve(n: int):
+    """Flagship CG-topped full hierarchy (cf. full_heirarchy_test.jl) solved to
+    1e-10 relative residual with the guarded mixed / progressive-precision
+    solver."""
+    from agglomerationmultigrid1d_tpu.models.problems import poisson_full_hierarchy
+    from agglomerationmultigrid1d_tpu.models.solvers import (
+        make_low_precision_hierarchy,
+        multigrid_mixed,
+    )
+
+    t0 = time.time()
+    prob = poisson_full_hierarchy(n=n)
+    h32 = make_low_precision_hierarchy(prob.hierarchy)
+    log(f"flagship setup: {time.time()-t0:.1f}s, dof={prob.b.size}")
+    b = prob.b
+    res = multigrid_mixed(prob.hierarchy, h32, jnp.zeros_like(b), b, 60, 1e-10)
+    t0 = time.time()
+    res = multigrid_mixed(prob.hierarchy, h32, jnp.zeros_like(b), b, 60, 1e-10)
+    dt = time.time() - t0
+    it = int(res.iterations)
+    nb = float(jnp.linalg.norm(b))
+    rel = float(np.asarray(res.res_history)[it - 1]) / nb
+    log(f"flagship solve: {dt:.3f}s, {int(res.inner_cycles)} cycles, rel res {rel:.1e}")
+    return dt, int(res.inner_cycles), prob.b.size
+
+
 def main():
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
@@ -192,6 +218,12 @@ def main():
         log(f"mixed solve bench failed: {e}")
         mx_time, mx_iters, mx_dof = None, None, None
 
+    try:
+        fl_time, fl_iters, fl_dof = bench_flagship_solve(1 << 10 if SMALL else 1 << 14)
+    except Exception as e:  # pragma: no cover
+        log(f"flagship solve bench failed: {e}")
+        fl_time, fl_iters, fl_dof = None, None, None
+
     result = {
         "metric": "fused block-Jacobi smoother sweeps (3x temporally blocked), 1D DG p=3 Poisson, f32 Pallas",
         "value": round(sweeps["pallas_multisweep_f32"] / 1e9, 2),
@@ -205,6 +237,9 @@ def main():
         "mixed_solve_to_1e-10_s": mx_time if mx_time is None else round(mx_time, 3),
         "mixed_solve_iterations": mx_iters,
         "mixed_solve_dof": mx_dof,
+        "flagship_solve_to_1e-10_s": fl_time if fl_time is None else round(fl_time, 3),
+        "flagship_solve_cycles": fl_iters,
+        "flagship_solve_dof": fl_dof,
     }
     print(json.dumps(result))
 

@@ -111,3 +111,33 @@ def test_mixed_solver_cg_topped_uses_ff_path():
     nb = float(jnp.linalg.norm(b))
     assert np.asarray(res.res_history)[it - 1] < 1e-10 * nb
     assert int(res.inner_cycles) >= it
+
+
+def test_progressive_precision_matches_f64_iterations():
+    """Progressive-precision V-cycles (f32 smoothers, float-float residuals/
+    transfers) must converge with the same cycle count as all-f64 multigrid,
+    including on the ill-conditioned CG-topped flagship configuration."""
+    from agglomerationmultigrid1d_tpu.models.problems import (
+        poisson_dg_hierarchy,
+        poisson_full_hierarchy,
+    )
+    from agglomerationmultigrid1d_tpu.models.solvers import (
+        make_low_precision_hierarchy,
+        multigrid,
+        multigrid_progressive,
+    )
+
+    for prob in (
+        poisson_full_hierarchy(n=256),
+        poisson_dg_hierarchy(n=256, max_p=4, n_dg=3),
+    ):
+        h32 = make_low_precision_hierarchy(prob.hierarchy)
+        b = prob.b
+        res = multigrid_progressive(
+            prob.hierarchy, h32, jnp.zeros_like(b), b, 60, 1e-10, use_pallas=False
+        )
+        r64 = multigrid(prob.hierarchy, jnp.zeros_like(b), b, 60, 1e-10, compute_error=False)
+        it = int(res.iterations)
+        nb = float(jnp.linalg.norm(b.T.reshape(-1) if b.ndim > 1 else b))
+        assert np.asarray(res.res_history)[it - 1] < 1e-10 * nb
+        assert it <= int(r64.iterations) + 2, (it, int(r64.iterations))
