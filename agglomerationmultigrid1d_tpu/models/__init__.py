@@ -4,6 +4,7 @@ from .hierarchy import (
     Hierarchy,
     build_dg_hierarchy,
     build_hierarchy,
+    chebyshev_hierarchy,
 )
 from .analysis import (
     mode_damping,

@@ -223,3 +223,51 @@ def build_dg_hierarchy(
     return Hierarchy(
         levels=tuple(levels), transfers=tuple(transfers), coarse=_coarse_lu(levels[-1])
     )
+
+
+def chebyshev_hierarchy(
+    h: Hierarchy,
+    *,
+    ratio: float = 4.0,
+    power_iters: int = 20,
+    safety: float = 1.05,
+) -> Hierarchy:
+    """Wrap every level's smoother in Chebyshev acceleration (TPU-native
+    extension beyond the reference's fixed-damping sweeps).
+
+    ``lambda_max(S A)`` per level comes from ``power_iters`` power iterations
+    with a deterministic start vector (setup-time, eager); the smoothed
+    interval is ``[lam_hi / ratio, lam_hi * safety]``.  Use with the same
+    ``n_pre``/``n_post`` as before — each "sweep" becomes one degree of the
+    Chebyshev recurrence at identical cost — and expect ~2x fewer V-cycles.
+    """
+    import numpy as np
+
+    from ..smoothers.smoother import ChebyshevSmoother, apply_smoother
+    from .solvers import level_matvec
+
+    new_levels = []
+    for k, level in enumerate(h.levels):
+        if k == len(h.levels) - 1:
+            new_levels.append(level)  # coarsest level never smooths
+            continue
+        shape = (
+            (level.a.n_nodes,)
+            if isinstance(level, CgLevel)
+            else (level.a.block_size, level.a.n_blocks)
+        )
+        dtype = level.a.band.dtype if isinstance(level, CgLevel) else level.a.diag.dtype
+        x = jnp.cos(1.7 * jnp.arange(np.prod(shape), dtype=dtype)).reshape(shape) + 0.5
+        x = x / jnp.linalg.norm(x.reshape(-1))
+        lam = jnp.asarray(1.0, dtype)
+        for _ in range(power_iters):
+            y = apply_smoother(level.smoother, level_matvec(level, x))
+            lam = jnp.linalg.norm(y.reshape(-1))
+            x = y / lam
+        s = ChebyshevSmoother(
+            base=level.smoother,
+            lam_lo=(lam * safety / ratio).astype(dtype),
+            lam_hi=(lam * safety).astype(dtype),
+        )
+        new_levels.append(level._replace(smoother=s))
+    return Hierarchy(levels=tuple(new_levels), transfers=h.transfers, coarse=h.coarse)

@@ -85,12 +85,41 @@ def _pallas_smooth_ok(level, u, use_pallas):
     )
 
 
+def _smooth_cheb(level, u, rhs, degree, use_pallas):
+    """Degree-``degree`` Chebyshev smoothing (see ChebyshevSmoother): the
+    classic three-term recurrence on the preconditioned residual, one matvec +
+    one base-smoother application per degree — identical per-step cost to a
+    damped sweep, far stronger damping on [lam_lo, lam_hi]."""
+    s = level.smoother
+    theta = 0.5 * (s.lam_hi + s.lam_lo)
+    delta = 0.5 * (s.lam_hi - s.lam_lo)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+
+    z = apply_smoother(s.base, rhs - _level_matvec_opt(level, u, use_pallas))
+    d = z / theta
+    u = u + d
+    for _ in range(1, degree):
+        z = apply_smoother(s.base, rhs - _level_matvec_opt(level, u, use_pallas))
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+        u = u + d
+        rho = rho_new
+    return u
+
+
 def _smooth_n(level, u, rhs, n_sweeps, alpha, use_pallas):
     """``n_sweeps`` damped smoother applications ``u += alpha S (rhs - A u)``.
 
     On block levels with a block-Jacobi smoother and f32 data, all sweeps fuse
     into ONE temporally-blocked Pallas pass over HBM (~n_sweeps x the effective
-    throughput of the sweep-at-a-time formulation)."""
+    throughput of the sweep-at-a-time formulation).  A ChebyshevSmoother level
+    instead runs the degree-``n_sweeps`` Chebyshev recurrence (``alpha`` is
+    ignored — damping is built into the polynomial)."""
+    from ..smoothers.smoother import ChebyshevSmoother
+
+    if isinstance(level.smoother, ChebyshevSmoother):
+        return _smooth_cheb(level, u, rhs, n_sweeps, use_pallas)
     if _pallas_smooth_ok(level, u, use_pallas):
         from ..ops.pallas import pallas_block_jacobi_multisweep
 

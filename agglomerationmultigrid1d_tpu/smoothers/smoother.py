@@ -50,7 +50,23 @@ class SchwarzSmoother(NamedTuple):
         return self.inv_windows.shape[2]
 
 
-Smoother = Union[JacobiSmoother, BlockJacobiSmoother, SchwarzSmoother]
+class ChebyshevSmoother(NamedTuple):
+    """Chebyshev-accelerated smoothing over a base smoother (TPU-native
+    extension; the reference has only stationary damped smoothers).
+
+    ``k`` applications target the interval ``[lam_lo, lam_hi]`` of the
+    preconditioned spectrum ``S A``: a degree-k Chebyshev polynomial damps the
+    upper part of the spectrum far faster than k fixed-damping sweeps
+    (the standard multigrid smoothing of Adams et al.), typically cutting
+    V-cycle counts ~2x at identical per-sweep cost.  ``lam_hi`` comes from a
+    few power iterations at setup; ``base`` is any stationary smoother."""
+
+    base: "Smoother"
+    lam_lo: jax.Array  # scalar, lower edge of the damped interval
+    lam_hi: jax.Array  # scalar estimate of lambda_max(S A), slightly inflated
+
+
+Smoother = Union[JacobiSmoother, BlockJacobiSmoother, SchwarzSmoother, ChebyshevSmoother]
 
 
 def apply_smoother(s: Smoother, r: jax.Array, alpha: float = 1.0) -> jax.Array:

@@ -117,12 +117,14 @@ def bench_sweeps(n_el: int, p: int = 3, iters: int = 100):
     out["xla_f32"] = nnz / dt
     log(f"xla f32 sweep: {dt*1e3:.3f} ms -> {nnz/dt/1e9:.1f} GNNZ/s")
 
-    # XLA f64 (parity dtype)
-    a64, s64, b64 = build_smoother_problem(n_el, p, jnp.float64)
+    # XLA f64 (parity dtype) — capped at 2^20 elements: emulated f64 is ~100x
+    # slower and the rate is size-independent past ~10^5 elements
+    n64 = min(n_el, 1 << 20)
+    a64, s64, b64 = build_smoother_problem(n64, p, jnp.float64)
     x = stepx(a64, s64, jnp.zeros_like(b64), b64)
-    dt = _time_chain(lambda y: stepx(a64, s64, y, b64), x, max(iters // 10, 3))
-    out["xla_f64"] = nnz / dt
-    log(f"xla f64 sweep: {dt*1e3:.3f} ms -> {nnz/dt/1e9:.2f} GNNZ/s")
+    dt = _time_chain(lambda y: stepx(a64, s64, y, b64), x, max(iters // 20, 3))
+    out["xla_f64"] = sweep_nnz(n64, p + 1) / dt
+    log(f"xla f64 sweep ({n64} el): {dt*1e3:.3f} ms -> {out['xla_f64']/1e9:.2f} GNNZ/s")
     return out
 
 
@@ -206,7 +208,7 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
 
-    n_el = 1 << 14 if SMALL else 1 << 20  # 1M elements = 4.2M DoF at p=3
+    n_el = 1 << 14 if SMALL else 1 << 22  # 4M elements = 16.8M DoF at p=3
     sweeps = bench_sweeps(n_el)
 
     np_el = 1 << 14 if SMALL else 1 << 18

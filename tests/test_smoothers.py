@@ -115,3 +115,32 @@ def test_smoother_damps_high_frequencies():
     hi = v[:, w > 0.5 * w.max()]
     damped = iteration @ hi
     assert np.linalg.norm(damped, axis=0).max() <= 1.0 / 3.0 + 0.05
+
+
+def test_chebyshev_smoothing_cuts_cycle_count():
+    """Chebyshev-accelerated smoothing (TPU-native extension) must converge in
+    fewer V-cycles than the reference's damped sweeps at identical per-sweep
+    cost, on both hierarchy families."""
+    import jax.numpy as jnp
+
+    from agglomerationmultigrid1d_tpu.models.hierarchy import chebyshev_hierarchy
+    from agglomerationmultigrid1d_tpu.models.problems import (
+        poisson_dg_hierarchy,
+        poisson_full_hierarchy,
+    )
+    from agglomerationmultigrid1d_tpu.models.solvers import multigrid
+
+    for prob in (
+        poisson_dg_hierarchy(n=256, max_p=3, n_dg=2, n_agg=4),
+        poisson_full_hierarchy(n=256),
+    ):
+        b = prob.b
+        r0 = multigrid(prob.hierarchy, jnp.zeros_like(b), b, 100, 1e-10, compute_error=False)
+        rc = multigrid(
+            chebyshev_hierarchy(prob.hierarchy), jnp.zeros_like(b), b, 100, 1e-10,
+            compute_error=False,
+        )
+        nb = float(jnp.linalg.norm(b.T.reshape(-1) if b.ndim > 1 else b))
+        it = int(rc.iterations)
+        assert np.asarray(rc.res_history)[it - 1] < 1e-10 * nb
+        assert it < int(r0.iterations), (it, int(r0.iterations))
