@@ -51,7 +51,7 @@ if not _os.environ.get("AGGMG_NO_COMPILE_CACHE"):
     )
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from . import numerics, mesh, ops, assembly, transfer, smoothers, models, parallel, utils  # noqa: E402,F401
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Union
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 
@@ -243,8 +245,7 @@ def chebyshev_hierarchy(
     """
     import numpy as np
 
-    from ..smoothers.smoother import ChebyshevSmoother, apply_smoother
-    from .solvers import level_matvec
+    from ..smoothers.smoother import ChebyshevSmoother
 
     new_levels = []
     for k, level in enumerate(h.levels):
@@ -257,13 +258,8 @@ def chebyshev_hierarchy(
             else (level.a.block_size, level.a.n_blocks)
         )
         dtype = level.a.band.dtype if isinstance(level, CgLevel) else level.a.diag.dtype
-        x = jnp.cos(1.7 * jnp.arange(np.prod(shape), dtype=dtype)).reshape(shape) + 0.5
-        x = x / jnp.linalg.norm(x.reshape(-1))
-        lam = jnp.asarray(1.0, dtype)
-        for _ in range(power_iters):
-            y = apply_smoother(level.smoother, level_matvec(level, x))
-            lam = jnp.linalg.norm(y.reshape(-1))
-            x = y / lam
+        x0 = jnp.cos(1.7 * jnp.arange(np.prod(shape), dtype=dtype)).reshape(shape) + 0.5
+        lam = _power_lam(level, x0, power_iters)
         s = ChebyshevSmoother(
             base=level.smoother,
             lam_lo=(lam * safety / ratio).astype(dtype),
@@ -271,3 +267,21 @@ def chebyshev_hierarchy(
         )
         new_levels.append(level._replace(smoother=s))
     return Hierarchy(levels=tuple(new_levels), transfers=h.transfers, coarse=h.coarse)
+
+
+@_functools.partial(jax.jit, static_argnames=("iters",))
+def _power_lam(level, x0, iters: int):
+    """lambda_max(S A) by power iteration — one fused program per level (an
+    eager loop would pay ~2000 dispatch round trips through the TPU tunnel)."""
+    from ..smoothers.smoother import apply_smoother
+    from .solvers import level_matvec
+
+    def body(_, carry):
+        x, _ = carry
+        y = apply_smoother(level.smoother, level_matvec(level, x))
+        lam = jnp.linalg.norm(y.reshape(-1))
+        return y / lam, lam
+
+    x0 = x0 / jnp.linalg.norm(x0.reshape(-1))
+    _, lam = jax.lax.fori_loop(0, iters, body, (x0, jnp.asarray(1.0, x0.dtype)))
+    return lam

@@ -85,12 +85,34 @@ def _pallas_smooth_ok(level, u, use_pallas):
     )
 
 
-def _smooth_cheb(level, u, rhs, degree, use_pallas):
+def _cheb_pallas_ok(level, u, use_pallas):
+    from ..smoothers.smoother import BlockJacobiSmoother
+
+    return (
+        use_pallas
+        and isinstance(level, BlockLevel)
+        and isinstance(level.smoother.base, BlockJacobiSmoother)
+        and u.dtype == jnp.float32
+    )
+
+
+def _smooth_cheb(level, u, rhs, degree, use_pallas, emit_residual=False):
     """Degree-``degree`` Chebyshev smoothing (see ChebyshevSmoother): the
     classic three-term recurrence on the preconditioned residual, one matvec +
     one base-smoother application per degree — identical per-step cost to a
-    damped sweep, far stronger damping on [lam_lo, lam_hi]."""
+    damped sweep, far stronger damping on [lam_lo, lam_hi].
+
+    On f32 block levels all degrees (and optionally the restrict-side
+    residual) fuse into ONE temporally-blocked Pallas HBM pass."""
     s = level.smoother
+    if _cheb_pallas_ok(level, u, use_pallas):
+        from ..ops.pallas import chebyshev_coefficients, pallas_chebyshev_multisweep
+
+        coef = chebyshev_coefficients(s.lam_lo, s.lam_hi, degree)
+        return pallas_chebyshev_multisweep(
+            level.a, s.base.inv, u, rhs, coef, degree, emit_residual=emit_residual
+        )
+
     theta = 0.5 * (s.lam_hi + s.lam_lo)
     delta = 0.5 * (s.lam_hi - s.lam_lo)
     sigma = theta / delta
@@ -105,6 +127,8 @@ def _smooth_cheb(level, u, rhs, degree, use_pallas):
         d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
         u = u + d
         rho = rho_new
+    if emit_residual:
+        return u, rhs - _level_matvec_opt(level, u, use_pallas)
     return u
 
 
@@ -134,6 +158,10 @@ def _smooth_n(level, u, rhs, n_sweeps, alpha, use_pallas):
 def _smooth_n_residual(level, u, rhs, n_sweeps, alpha, use_pallas):
     """``_smooth_n`` fused with the post-smoothing residual ``rhs - A u``
     (one HBM pass on the Pallas path — the restrict-side matvec is free)."""
+    from ..smoothers.smoother import ChebyshevSmoother
+
+    if isinstance(level.smoother, ChebyshevSmoother):
+        return _smooth_cheb(level, u, rhs, n_sweeps, use_pallas, emit_residual=True)
     if _pallas_smooth_ok(level, u, use_pallas):
         from ..ops.pallas import pallas_block_jacobi_multisweep_residual
 

@@ -1,13 +1,17 @@
 from .block_kernels import (
+    chebyshev_coefficients,
     pallas_block_jacobi_multisweep,
     pallas_block_jacobi_multisweep_residual,
     pallas_block_jacobi_sweep,
     pallas_bt_matvec,
+    pallas_chebyshev_multisweep,
 )
 
 __all__ = [
+    "chebyshev_coefficients",
     "pallas_block_jacobi_multisweep",
     "pallas_block_jacobi_multisweep_residual",
     "pallas_block_jacobi_sweep",
     "pallas_bt_matvec",
+    "pallas_chebyshev_multisweep",
 ]

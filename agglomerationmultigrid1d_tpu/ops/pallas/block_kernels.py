@@ -234,6 +234,132 @@ def _halo_specs(bs: int, tile: int, halo: int):
     return mat_specs, vec_specs
 
 
+def _wide_cheb_kernel(
+    coef, adc, adl, adr, alc, all_, alr, auc, aul, aur, bic, bil, bir,
+    xc, xl, xr, bc, bl, br, *outs, bs, degree, halo, tile, emit_residual=False,
+):
+    """Temporally-blocked Chebyshev smoothing: all ``degree`` steps of the
+    three-term recurrence in one HBM pass (same widened-tile validity argument
+    as ``_wide_sweep_kernel``; each step consumes one halo column per side).
+
+    ``coef`` is a (degree, 2) SMEM array: step i does
+    ``z = Binv (b - A x); d = coef[i,0] * d + coef[i,1] * z; x += d``."""
+    i = pl.program_id(0)
+    w = tile + 2 * halo
+
+    def widen(c, l, r):
+        return jnp.concatenate([l[...], c[...], r[...]], axis=-1)
+
+    ad = widen(adc, adl, adr)
+    al = widen(alc, all_, alr)
+    au = widen(auc, aul, aur)
+    bi = widen(bic, bil, bir)
+    bw = widen(bc, bl, br)
+    xw = widen(xc, xl, xr)
+
+    n_total = pl.num_programs(0) * tile
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (bs, w), 1) + i * tile - halo
+    valid = (gcol >= 0) & (gcol < n_total)
+    xw = jnp.where(valid, xw, 0.0)
+
+    def mat(m, v):
+        acc = m[:, 0, :] * v[0:1, :]
+        for j in range(1, bs):
+            acc = acc + m[:, j, :] * v[j : j + 1, :]
+        return acc
+
+    def residual(xw):
+        xm = pltpu.roll(xw, jnp.int32(1), axis=1)
+        xm = jnp.where(gcol - 1 >= 0, xm, 0.0)
+        xp = pltpu.roll(xw, jnp.int32(w - 1), axis=1)
+        xp = jnp.where(gcol + 1 < n_total, xp, 0.0)
+        return bw - mat(ad, xw) - mat(al, xm) - mat(au, xp)
+
+    d = jnp.zeros_like(xw)
+    for s in range(degree):
+        z = mat(bi, residual(xw))
+        d = coef[s, 0] * d + coef[s, 1] * z
+        xw = jnp.where(valid, xw + d, 0.0)
+
+    outs[0][...] = xw[:, halo : halo + tile]
+    if emit_residual:
+        outs[1][...] = residual(xw)[:, halo : halo + tile]
+
+
+def chebyshev_coefficients(lam_lo, lam_hi, degree: int):
+    """(degree, 2) recurrence coefficients [c_d, c_z] for the classic Chebyshev
+    smoother on [lam_lo, lam_hi] (traced scalars are fine)."""
+    theta = 0.5 * (lam_hi + lam_lo)
+    delta = 0.5 * (lam_hi - lam_lo)
+    sigma = theta / delta
+    rows = []
+    rho = 1.0 / sigma
+    rows.append(jnp.stack([jnp.zeros_like(theta), 1.0 / theta]))
+    for _ in range(1, degree):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        rows.append(jnp.stack([rho_new * rho, 2.0 * rho_new / delta]))
+        rho = rho_new
+    return jnp.stack(rows).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("degree", "interpret", "emit_residual"))
+def pallas_chebyshev_multisweep(
+    a: BlockTridiag, s_inv: jax.Array, x: jax.Array, b: jax.Array, coef: jax.Array,
+    degree: int = 3, interpret: bool = False, emit_residual: bool = False,
+):
+    """All ``degree`` Chebyshev smoothing steps fused into one HBM pass
+    (optionally also emitting ``r = b - A x_new``).  ``coef`` from
+    :func:`chebyshev_coefficients`.  Falls back to an unfused XLA recurrence
+    for awkward shapes/dtypes."""
+    bs, _, n = a.diag.shape
+    halo = 128
+    tile = _pick_tile(bs, n, x.dtype)
+    if (
+        x.dtype != jnp.float32
+        or degree >= halo
+        or tile % halo != 0
+        or n % tile != 0
+        or n < 2 * tile
+    ):
+        d = jnp.zeros_like(x)
+        cf = coef.astype(x.dtype)
+        for s in range(degree):
+            z = jnp.einsum("ijn,jn->in", s_inv, b - bt_matvec(a, x))
+            d = cf[s, 0] * d + cf[s, 1] * z
+            x = x + d
+        if emit_residual:
+            return x, b - bt_matvec(a, x)
+        return x
+
+    (m_c, m_l, m_r), (v_c, v_l, v_r) = _halo_specs(bs, tile, halo)
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [m_c, m_l, m_r] * 4
+        + [v_c, v_l, v_r] * 2
+    )
+    kernel = functools.partial(
+        _wide_cheb_kernel, bs=bs, degree=degree, halo=halo, tile=tile,
+        emit_residual=emit_residual,
+    )
+    args = [coef]
+    for arr in (a.diag, a.lower, a.upper, s_inv):
+        args += [arr, arr, arr]
+    args += [x, x, x, b, b, b]
+    shape = jax.ShapeDtypeStruct((bs, n), x.dtype)
+    out_specs = [v_c, v_c] if emit_residual else v_c
+    out_shape = [shape, shape] if emit_residual else shape
+    with _x32_scope():
+        res = pl.pallas_call(
+            kernel,
+            grid=(n // tile,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
+    return tuple(res) if emit_residual else res
+
+
 @functools.partial(jax.jit, static_argnames=("alpha", "n_sweeps", "interpret"))
 def pallas_block_jacobi_multisweep(
     a: BlockTridiag, s_inv: jax.Array, x: jax.Array, b: jax.Array,

@@ -16,6 +16,7 @@ Set AGGMG_BENCH_SMALL=1 for a quick smoke run.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -158,10 +159,13 @@ def bench_mixed_solve(n: int):
         multigrid_mixed,
     )
 
+    from agglomerationmultigrid1d_tpu.models.hierarchy import chebyshev_hierarchy
+
     n_agg = max(int(np.log2(n // 4)) - 5, 1)  # coarsen to ~64 agglomerates
     t0 = time.time()
     prob = poisson_dg_hierarchy(n=n, max_p=3, n_dg=2, n_agg=n_agg)
     log(f"mixed-solve setup: {time.time()-t0:.1f}s, levels={prob.hierarchy.n_levels}, dof={prob.b.size}")
+    prob = dataclasses.replace(prob, hierarchy=chebyshev_hierarchy(prob.hierarchy))
     h32 = make_low_precision_hierarchy(prob.hierarchy)
     b = prob.b
     t0 = time.time()
@@ -188,8 +192,11 @@ def bench_flagship_solve(n: int):
         multigrid_mixed,
     )
 
+    from agglomerationmultigrid1d_tpu.models.hierarchy import chebyshev_hierarchy
+
     t0 = time.time()
     prob = poisson_full_hierarchy(n=n)
+    prob = dataclasses.replace(prob, hierarchy=chebyshev_hierarchy(prob.hierarchy))
     h32 = make_low_precision_hierarchy(prob.hierarchy)
     log(f"flagship setup: {time.time()-t0:.1f}s, dof={prob.b.size}")
     b = prob.b

@@ -100,3 +100,36 @@ def test_mixed_precision_multigrid_converges_to_f64_tol():
     assert int(res.inner_cycles) <= 4 * int(res64.iterations), (
         int(res.inner_cycles), int(res64.iterations),
     )
+
+
+def test_pallas_chebyshev_multisweep_matches_xla(rng):
+    """Fused Chebyshev kernel (real pallas path at n >= 2*tile, interpreter
+    mode) vs the plain XLA recurrence."""
+    from agglomerationmultigrid1d_tpu.ops.pallas import (
+        chebyshev_coefficients,
+        pallas_chebyshev_multisweep,
+    )
+
+    bs, n, k = 4, 16384, 3
+    a = _random_bt(rng, bs, n, jnp.float32)
+    sinv = jnp.asarray(rng.standard_normal((bs, bs, n)) * 0.1, jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((bs, n)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((bs, n)), jnp.float32)
+    coef = chebyshev_coefficients(jnp.float32(0.3), jnp.float32(1.2), k)
+
+    # reference: unfused recurrence
+    x, d = x0, jnp.zeros_like(x0)
+    for s in range(k):
+        z = jnp.einsum("ijn,jn->in", sinv, b - bt_matvec(a, x))
+        d = coef[s, 0] * d + coef[s, 1] * z
+        x = x + d
+    r_ref = b - bt_matvec(a, x)
+
+    out, r = pallas_chebyshev_multisweep(
+        a, sinv, x0, b, coef, k, interpret=True, emit_residual=True
+    )
+    scale = float(jnp.abs(x).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=2e-5 * scale)
+    np.testing.assert_allclose(
+        np.asarray(r), np.asarray(r_ref), atol=2e-4 * float(jnp.abs(b).max())
+    )
