@@ -28,6 +28,7 @@ from ..mesh.dg_mesh import make_dg_mesh
 from ..mesh.topology import BoundaryCondition, create_uniform_mesh
 from ..ops.block_diag import bd_matvec
 from ..ops.block_tridiag import bd_mul_bt, bt_matvec, bt_mul_bt, bt_sub
+from ..utils.config import CycleParams, HierarchySpec, SolveParams
 from ..utils.host import host_setup, to_accelerator
 from .hierarchy import Hierarchy, build_dg_hierarchy, build_hierarchy
 
@@ -38,6 +39,75 @@ class Problem:
     b: jnp.ndarray
     meshes: list
     bc: BoundaryCondition
+
+
+@host_setup
+def build_problem(
+    spec: HierarchySpec,
+    n: int,
+    func: Callable | None = None,
+    bc: BoundaryCondition | None = None,
+    mesh=None,
+) -> Problem:
+    """Build any of the reference's hierarchy configurations from a
+    :class:`~..utils.config.HierarchySpec` (the config-driven entry point; the
+    four ``poisson_*`` builders below are canned specs).
+
+    ``spec.cg_orders`` empty selects the DG-topped constructor
+    (``mesh_heirarchy.jl:140-181``); otherwise the CG-topped one (``:30-138``).
+    """
+    func_, u_ex, ux_ex = default_model_problem()
+    func = func or func_
+    bc = bc or _default_bc(u_ex, ux_ex)
+    if mesh is None:
+        mesh = create_uniform_mesh(n, 0.0, 1.0)
+
+    meshes: list = [make_cg_mesh(mesh, p) for p in spec.cg_orders]
+    meshes += [make_dg_mesh(mesh, p) for p in spec.dg_orders]
+    for i in range(spec.n_agg_levels):
+        if i == 0:
+            meshes.append(make_agg_mesh(spec.p_agg, mesh, spec.first_agg_factor))
+        else:
+            meshes.append(coarsen_agg_mesh(meshes[-1], spec.agg_factor))
+
+    if spec.cg_orders:
+        a, b = cg_stiffness_and_rhs(meshes[0], func, bc)
+        h = build_hierarchy(
+            meshes, bc, a, c_dir=spec.c_dir, cg_smoother_kind=spec.cg_smoother
+        )
+    else:
+        dg = meshes[0]
+        g, d, c = dg_flux_operators(dg, bc, spec.c_dir)
+        a = bt_sub(c, bt_mul_bt(d, bd_mul_bt(dg.mass_inv, g)))
+        f, r = dg_flux_rhs(dg, func, bc, spec.c_dir)
+        b = f - bt_matvec(d, bd_matvec(dg.mass_inv, r))
+        h = build_dg_hierarchy(meshes, a, g, d, c)
+    return Problem(hierarchy=to_accelerator(h), b=to_accelerator(b), meshes=meshes, bc=bc)
+
+
+def solve(
+    problem: Problem,
+    x0: jnp.ndarray | None = None,
+    solve_params: SolveParams = SolveParams(),
+    cycle_params: CycleParams = CycleParams(),
+):
+    """Run the outer multigrid iteration with config-dataclass parameters
+    (defaults mirror the reference's keyword defaults, ``solvers.jl:19-20``)."""
+    from .solvers import multigrid
+
+    if x0 is None:
+        x0 = jnp.zeros_like(problem.b)
+    return multigrid(
+        problem.hierarchy,
+        x0,
+        problem.b,
+        maxiter=solve_params.maxiter,
+        tol=solve_params.tol,
+        n_pre=cycle_params.n_pre,
+        n_post=cycle_params.n_post,
+        alpha=cycle_params.alpha,
+        compute_error=solve_params.compute_error,
+    )
 
 
 def default_model_problem():
@@ -63,7 +133,6 @@ def _cg_orders(max_p: int, n_cg: int) -> list[int]:
     return orders
 
 
-@host_setup
 def poisson_cg_hierarchy(
     n: int = 128,
     max_p: int = 8,
@@ -71,17 +140,10 @@ def poisson_cg_hierarchy(
     func: Callable | None = None,
     bc: BoundaryCondition | None = None,
 ) -> Problem:
-    func_, u_ex, ux_ex = default_model_problem()
-    func = func or func_
-    bc = bc or _default_bc(u_ex, ux_ex)
-    mesh = create_uniform_mesh(n, 0.0, 1.0)
-    meshes = [make_cg_mesh(mesh, p) for p in _cg_orders(max_p, n_cg)]
-    a, b = cg_stiffness_and_rhs(meshes[0], func, bc)
-    h = build_hierarchy(meshes, bc, a)
-    return Problem(hierarchy=to_accelerator(h), b=to_accelerator(b), meshes=meshes, bc=bc)
+    spec = HierarchySpec(cg_orders=tuple(_cg_orders(max_p, n_cg)), n_agg_levels=0)
+    return build_problem(spec, n, func, bc)
 
 
-@host_setup
 def poisson_dg_cg_hierarchy(
     n: int = 128,
     max_p: int = 8,
@@ -93,20 +155,15 @@ def poisson_dg_cg_hierarchy(
 ) -> Problem:
     """CG chain then DG levels continuing the p-halving (reaching p = 0 for the
     default 4 + 1 configuration, as in dg_cg_heirarchy_test.jl:31-45)."""
-    func_, u_ex, ux_ex = default_model_problem()
-    func = func or func_
-    bc = bc or _default_bc(u_ex, ux_ex)
-    c_dir = 1000.0 * n if c_dir is None else c_dir
-    mesh = create_uniform_mesh(n, 0.0, 1.0)
     orders = _cg_orders(max_p, n_cg + n_dg)
-    meshes = [make_cg_mesh(mesh, p) for p in orders[:n_cg]]
-    meshes += [make_dg_mesh(mesh, p) for p in orders[n_cg:]]
-    a, b = cg_stiffness_and_rhs(meshes[0], func, bc)
-    h = build_hierarchy(meshes, bc, a, c_dir=c_dir)
-    return Problem(hierarchy=to_accelerator(h), b=to_accelerator(b), meshes=meshes, bc=bc)
+    spec = HierarchySpec(
+        cg_orders=tuple(orders[:n_cg]),
+        dg_orders=tuple(orders[n_cg:]),
+        c_dir=1000.0 * n if c_dir is None else c_dir,
+    )
+    return build_problem(spec, n, func, bc)
 
 
-@host_setup
 def poisson_dg_hierarchy(
     n: int = 128,
     max_p: int = 8,
@@ -124,27 +181,16 @@ def poisson_dg_hierarchy(
     p-chain (4:1 first, 2:1 after) — required to keep the coarsest level small
     for large element counts (cf. the DG->agg path of ``mesh_heirarchy.jl:89-95``).
     """
-    func_, u_ex, ux_ex = default_model_problem()
-    func = func or func_
-    bc = bc or _default_bc(u_ex, ux_ex)
-    c_dir = 1000.0 * n if c_dir is None else c_dir
-    mesh = create_uniform_mesh(n, 0.0, 1.0)
-    meshes: list = [make_dg_mesh(mesh, p) for p in _cg_orders(max_p, n_dg)]
-    for i in range(n_agg):
-        if i == 0:
-            meshes.append(make_agg_mesh(p_agg, mesh, 4))
-        else:
-            meshes.append(coarsen_agg_mesh(meshes[-1], 2))
-    dg = meshes[0]
-    g, d, c = dg_flux_operators(dg, bc, c_dir)
-    a = bt_sub(c, bt_mul_bt(d, bd_mul_bt(dg.mass_inv, g)))
-    f, r = dg_flux_rhs(dg, func, bc, c_dir)
-    b = f - bt_matvec(d, bd_matvec(dg.mass_inv, r))
-    h = build_dg_hierarchy(meshes, a, g, d, c)
-    return Problem(hierarchy=to_accelerator(h), b=to_accelerator(b), meshes=meshes, bc=bc)
+    spec = HierarchySpec(
+        cg_orders=(),
+        dg_orders=tuple(_cg_orders(max_p, n_dg)),
+        n_agg_levels=n_agg,
+        p_agg=p_agg,
+        c_dir=1000.0 * n if c_dir is None else c_dir,
+    )
+    return build_problem(spec, n, func, bc)
 
 
-@host_setup
 def poisson_full_hierarchy(
     n: int = 128,
     max_p: int = 8,
@@ -158,21 +204,12 @@ def poisson_full_hierarchy(
     """The flagship configuration (full_heirarchy_test.jl:30-92): 4 CG levels
     p = 8, 4, 2, 1, then log2(n) - 1 agglomerated levels (first 4:1, rest 2:1),
     CDir = 1000 n."""
-    func_, u_ex, ux_ex = default_model_problem()
-    func = func or func_
-    bc = bc or _default_bc(u_ex, ux_ex)
-    c_dir = 1000.0 * n if c_dir is None else c_dir
     if n_agg is None:
         n_agg = int(np.log2(n)) - 1
-    mesh = create_uniform_mesh(n, 0.0, 1.0)
-    meshes: list = [make_cg_mesh(mesh, p) for p in _cg_orders(max_p, n_cg)]
-    aggs = []
-    for i in range(n_agg):
-        if i == 0:
-            aggs.append(make_agg_mesh(p_agg, mesh, 4))
-        else:
-            aggs.append(coarsen_agg_mesh(aggs[-1], 2))
-    meshes += aggs
-    a, b = cg_stiffness_and_rhs(meshes[0], func, bc)
-    h = build_hierarchy(meshes, bc, a, c_dir=c_dir)
-    return Problem(hierarchy=to_accelerator(h), b=to_accelerator(b), meshes=meshes, bc=bc)
+    spec = HierarchySpec(
+        cg_orders=tuple(_cg_orders(max_p, n_cg)),
+        n_agg_levels=n_agg,
+        p_agg=p_agg,
+        c_dir=1000.0 * n if c_dir is None else c_dir,
+    )
+    return build_problem(spec, n, func, bc)

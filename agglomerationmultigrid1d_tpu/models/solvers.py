@@ -229,17 +229,15 @@ class MultigridResult(NamedTuple):
 
 
 def _dense_fine_solve(h: Hierarchy, b: jax.Array) -> jax.Array:
-    """Host-side direct solve of the finest operator (the reference's
-    ``u_exact = A \\ b``, ``solvers.jl:120``).  Done through NumPy because the
-    TPU backend has no f64 LU; this is observability-only, never the hot path."""
+    """Host-side banded direct solve of the finest operator (the reference's
+    ``u_exact = A \\ b``, ``solvers.jl:120``, which pays a *sparse* LU).  Every
+    fine operator here is scalar-banded, so this is O(n p^2) LAPACK dgbsv on
+    the host — observability-only, never the hot path."""
     import numpy as np
 
-    from ..ops.block_tridiag import bt_to_dense
-    from ..ops.cg_operator import cg_to_dense
+    from ..ops.banded_solve import fine_direct_solve
 
-    fine = h.levels[0]
-    a_dense = cg_to_dense(fine.a) if isinstance(fine, CgLevel) else bt_to_dense(fine.a)
-    sol = np.linalg.solve(np.asarray(a_dense), np.asarray(_flatten_level_vec(b)))
+    sol = fine_direct_solve(h.levels[0], np.asarray(_flatten_level_vec(b)))
     return jnp.asarray(sol)
 
 
@@ -316,13 +314,9 @@ def iterative_smoother_solve(
     """Pure Richardson-with-smoother iteration (``solvers.jl:189-213``)."""
     import numpy as np
 
-    from ..ops.block_tridiag import bt_to_dense
-    from ..ops.cg_operator import cg_to_dense
+    from ..ops.banded_solve import fine_direct_solve
 
-    a_dense = cg_to_dense(level.a) if isinstance(level, CgLevel) else bt_to_dense(level.a)
-    u_exact = jnp.asarray(
-        np.linalg.solve(np.asarray(a_dense), np.asarray(_flatten_level_vec(b)))
-    )
+    u_exact = jnp.asarray(fine_direct_solve(level, np.asarray(_flatten_level_vec(b))))
     norm_b = jnp.linalg.norm(_flatten_level_vec(b))
     nan = jnp.full((maxiter,), jnp.nan, dtype=norm_b.dtype)
 
