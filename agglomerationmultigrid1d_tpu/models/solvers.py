@@ -67,6 +67,23 @@ def _flatten_level_vec(x):
     return x.T.reshape(-1)
 
 
+def _crop_cg(level, x):
+    """Strip the inert ghost padding of an element-sharded CG level's vector
+    before it crosses a level boundary (transfers expect real node counts)."""
+    if isinstance(level, CgLevel) and x.shape[0] != level.a.n_nodes:
+        return x[: level.a.n_nodes]
+    return x
+
+
+def _pad_cg(level, x):
+    """Re-apply the level's ghost padding (zeros) after a transfer."""
+    if isinstance(level, CgLevel):
+        n_pad = level.a.n_nodes_padded
+        if x.shape[0] != n_pad:
+            return jnp.pad(x, (0, n_pad - x.shape[0]))
+    return x
+
+
 def _unflatten_level_vec(flat, like):
     if like.ndim == 1:
         return flat
@@ -201,7 +218,9 @@ def v_cycle(
         if k > 0:
             u[k] = jnp.zeros_like(rhs[k])
         u[k], r_k = _smooth_n_residual(level, u[k], rhs[k], n_pre, alpha, use_pallas)
-        rhs[k + 1] = transfer_restrict(h.transfers[k], r_k)
+        rhs[k + 1] = _pad_cg(
+            h.levels[k + 1], transfer_restrict(h.transfers[k], _crop_cg(level, r_k))
+        )
 
     # coarsest level: replicated dense direct solve (cf. solvers.jl:39)
     flat = _flatten_level_vec(rhs[n - 1])
@@ -209,7 +228,8 @@ def v_cycle(
 
     for k in range(n - 2, -1, -1):
         level = h.levels[k]
-        u[k] = u[k] + transfer_prolong(h.transfers[k], u[k + 1])
+        corr = transfer_prolong(h.transfers[k], _crop_cg(h.levels[k + 1], u[k + 1]))
+        u[k] = u[k] + _pad_cg(level, corr)
         u[k] = _smooth_n(level, u[k], rhs[k], n_post, alpha, use_pallas)
     return u[0]
 
@@ -237,8 +257,9 @@ def _dense_fine_solve(h: Hierarchy, b: jax.Array) -> jax.Array:
 
     from ..ops.banded_solve import fine_direct_solve
 
-    sol = fine_direct_solve(h.levels[0], np.asarray(_flatten_level_vec(b)))
-    return jnp.asarray(sol)
+    fine = h.levels[0]
+    sol = fine_direct_solve(fine, np.asarray(_flatten_level_vec(_crop_cg(fine, b))))
+    return _pad_cg(fine, jnp.asarray(sol))
 
 
 def multigrid(
@@ -598,7 +619,11 @@ def v_cycle_ff(
         u[k] = _smooth_ff(level, a_ffs[k], u[k], rhs[k], n_pre, alpha, use_pallas)
         r_ff = ff_defect(a_ffs[k], u[k], rhs[k])
         t = h_low.transfers[k]
-        rhs[k + 1] = FF(transfer_restrict(t, r_ff.hi), transfer_restrict(t, r_ff.lo))
+        lvl_c = h_low.levels[k + 1]
+        rhs[k + 1] = FF(
+            _pad_cg(lvl_c, transfer_restrict(t, _crop_cg(level, r_ff.hi))),
+            _pad_cg(lvl_c, transfer_restrict(t, _crop_cg(level, r_ff.lo))),
+        )
 
     # coarsest: f32 dense solve + one ff-defect refinement step (the coarse
     # operator is small and mildly conditioned, so two f32 solves against an
@@ -614,7 +639,11 @@ def v_cycle_ff(
     for k in range(n - 2, -1, -1):
         level = h_low.levels[k]
         t = h_low.transfers[k]
-        corr = FF(transfer_prolong(t, u[k + 1].hi), transfer_prolong(t, u[k + 1].lo))
+        lvl_c = h_low.levels[k + 1]
+        corr = FF(
+            _pad_cg(level, transfer_prolong(t, _crop_cg(lvl_c, u[k + 1].hi))),
+            _pad_cg(level, transfer_prolong(t, _crop_cg(lvl_c, u[k + 1].lo))),
+        )
         u[k] = ff_add(u[k], corr)
         u[k] = _smooth_ff(level, a_ffs[k], u[k], rhs[k], n_post, alpha, use_pallas)
     return u[0]

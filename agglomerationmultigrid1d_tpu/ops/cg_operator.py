@@ -45,6 +45,13 @@ class CgOperator(NamedTuple):
 
     @property
     def n_nodes(self) -> int:
+        """Real node count ``n_el * p + 1`` (derived from the windows: the
+        assembled band may carry inert ghost padding when element-sharded —
+        see ``parallel.distributed._pad_cg_level``)."""
+        return self.n_el * self.p + 1
+
+    @property
+    def n_nodes_padded(self) -> int:
         return self.band.shape[1]
 
 

@@ -46,15 +46,68 @@ def _put(x, mesh: Mesh, spec: P):
 def _shard_last(x, mesh):
     """Shard the trailing axis when it divides the device count, else replicate.
 
-    CG node arrays have odd length (n_el * p + 1) and therefore stay replicated
-    for now (a ghost-padded representation can lift this later); all block-level
-    arrays in the standard configurations divide evenly.
+    ``device_put`` requires even division, so CG solve-path arrays (odd node
+    count ``n_el * p + 1``) are ghost-padded to a device multiple first — see
+    :func:`_pad_cg_level` — and only setup-only leftovers (element windows for
+    odd element counts) fall back to replication.
     """
     n_dev = mesh.devices.size
     if x.ndim == 0 or x.shape[-1] % n_dev != 0:
         return _put(x, mesh, P())
     spec = P(*([None] * (x.ndim - 1) + [AXIS]))
     return _put(x, mesh, spec)
+
+
+def _pad_len(n: int, n_dev: int) -> int:
+    return ((n + n_dev - 1) // n_dev) * n_dev
+
+
+def _pad_tail(x, target: int, fill: float = 0.0):
+    if x.shape[-1] == target:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, target - x.shape[-1])]
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+def _pad_cg_smoother(s, n_pad: int):
+    from ..smoothers.smoother import (
+        ChebyshevSmoother,
+        JacobiSmoother,
+        SchwarzSmoother,
+    )
+
+    if isinstance(s, JacobiSmoother):
+        # padding rows of the band are identity; 1/1 keeps the inverse exact
+        return JacobiSmoother(inv_diag=_pad_tail(s.inv_diag, n_pad, fill=1.0))
+    if isinstance(s, SchwarzSmoother) and s.mult_inv is not None:
+        return s._replace(mult_inv=_pad_tail(s.mult_inv, n_pad, fill=1.0))
+    if isinstance(s, ChebyshevSmoother):
+        return s._replace(base=_pad_cg_smoother(s.base, n_pad))
+    return s
+
+
+def _pad_cg_level(level: CgLevel, n_dev: int) -> CgLevel:
+    """Ghost-pad a CG level's solve-path arrays to a device multiple.
+
+    The padded tail of the band is the identity (diagonal 1, off-diagonals 0),
+    so with zero-padded vectors the padding region is exactly inert: residuals,
+    smoother updates and norms there are identically zero.  ``windows`` (and the
+    derived ``n_nodes``) keep the real node count; the V-cycle crops/pads at
+    level boundaries (``models.solvers._crop_cg`` / ``_pad_cg``).
+    """
+    from ..ops.cg_operator import CgOperator
+
+    a = level.a
+    n_pad = _pad_len(a.band.shape[1], n_dev)
+    if n_pad == a.band.shape[1]:
+        return level
+    p = a.p
+    band = _pad_tail(a.band, n_pad)
+    band = band.at[p, a.band.shape[1] :].set(1.0)
+    return CgLevel(
+        a=CgOperator(windows=a.windows, band=band),
+        smoother=_pad_cg_smoother(level.smoother, n_pad),
+    )
 
 
 def _replicate(tree, mesh):
@@ -78,12 +131,15 @@ def shard_hierarchy(
         return level.a.n_blocks
 
     sharded = [level_size(lv) >= n_dev * min_blocks_per_device for lv in h.levels]
+    sharded[-1] = False  # coarsest level always replicates (dense direct solve)
 
     new_levels = []
     for lv, sh in zip(h.levels, sharded):
         if not sh:
             new_levels.append(_replicate(lv, mesh))
         else:
+            if isinstance(lv, CgLevel):
+                lv = _pad_cg_level(lv, n_dev)
             new_levels.append(jax.tree_util.tree_map(lambda x: _shard_last(x, mesh), lv))
 
     new_transfers = []
@@ -102,8 +158,19 @@ def shard_hierarchy(
     )
 
 
-def shard_vector(x: jax.Array, mesh: Mesh) -> jax.Array:
+def shard_vector(x: jax.Array, mesh: Mesh, h: Hierarchy | None = None) -> jax.Array:
+    """Shard a fine-level vector; pass the (sharded) hierarchy ``h`` so CG node
+    vectors are ghost-padded to match its padded fine level."""
+    if h is not None and isinstance(h.levels[0], CgLevel) and x.ndim == 1:
+        x = _pad_tail(x, h.levels[0].a.band.shape[1])
     return _shard_last(x, mesh)
+
+
+def unshard_vector(x: jax.Array, h: Hierarchy) -> jax.Array:
+    """Crop a (possibly ghost-padded) fine-level solution back to real DoFs."""
+    if isinstance(h.levels[0], CgLevel) and x.ndim == 1:
+        return x[: h.levels[0].a.n_nodes]
+    return x
 
 
 def distributed_v_cycle(h: Hierarchy, x0, b, **kw):
