@@ -113,15 +113,32 @@ def _cheb_pallas_ok(level, u, use_pallas):
     )
 
 
-def _smooth_cheb(level, u, rhs, degree, use_pallas, emit_residual=False):
+def _smooth_cheb(level, u, rhs, degree, use_pallas, emit_residual=False, shard=None):
     """Degree-``degree`` Chebyshev smoothing (see ChebyshevSmoother): the
     classic three-term recurrence on the preconditioned residual, one matvec +
     one base-smoother application per degree — identical per-step cost to a
     damped sweep, far stronger damping on [lam_lo, lam_hi].
 
     On f32 block levels all degrees (and optionally the restrict-side
-    residual) fuse into ONE temporally-blocked Pallas HBM pass."""
+    residual) fuse into ONE temporally-blocked Pallas HBM pass; with
+    ``shard = (mesh, axis)`` that pass runs per shard inside ``shard_map``
+    with ppermute halo exchange (``parallel.sharded_kernels``)."""
+    from ..smoothers.smoother import BlockJacobiSmoother
+
     s = level.smoother
+    if (
+        shard is not None
+        and isinstance(level, BlockLevel)
+        and isinstance(s.base, BlockJacobiSmoother)
+    ):
+        from ..ops.pallas import chebyshev_coefficients
+        from ..parallel.sharded_kernels import sharded_chebyshev_multisweep
+
+        coef = chebyshev_coefficients(s.lam_lo, s.lam_hi, degree)
+        return sharded_chebyshev_multisweep(
+            shard[0], shard[1], level.a, s.base.inv, u, rhs, coef,
+            degree=degree, emit_residual=emit_residual, use_pallas=use_pallas,
+        )
     if _cheb_pallas_ok(level, u, use_pallas):
         from ..ops.pallas import chebyshev_coefficients, pallas_chebyshev_multisweep
 
@@ -149,18 +166,30 @@ def _smooth_cheb(level, u, rhs, degree, use_pallas, emit_residual=False):
     return u
 
 
-def _smooth_n(level, u, rhs, n_sweeps, alpha, use_pallas):
+def _smooth_n(level, u, rhs, n_sweeps, alpha, use_pallas, shard=None):
     """``n_sweeps`` damped smoother applications ``u += alpha S (rhs - A u)``.
 
     On block levels with a block-Jacobi smoother and f32 data, all sweeps fuse
     into ONE temporally-blocked Pallas pass over HBM (~n_sweeps x the effective
     throughput of the sweep-at-a-time formulation).  A ChebyshevSmoother level
     instead runs the degree-``n_sweeps`` Chebyshev recurrence (``alpha`` is
-    ignored — damping is built into the polynomial)."""
-    from ..smoothers.smoother import ChebyshevSmoother
+    ignored — damping is built into the polynomial).  ``shard = (mesh, axis)``
+    routes an element-sharded block level through the shard_map kernels."""
+    from ..smoothers.smoother import BlockJacobiSmoother, ChebyshevSmoother
 
     if isinstance(level.smoother, ChebyshevSmoother):
-        return _smooth_cheb(level, u, rhs, n_sweeps, use_pallas)
+        return _smooth_cheb(level, u, rhs, n_sweeps, use_pallas, shard=shard)
+    if (
+        shard is not None
+        and isinstance(level, BlockLevel)
+        and isinstance(level.smoother, BlockJacobiSmoother)
+    ):
+        from ..parallel.sharded_kernels import sharded_multisweep
+
+        return sharded_multisweep(
+            shard[0], shard[1], level.a, level.smoother.inv, u, rhs,
+            n_sweeps=n_sweeps, alpha=alpha, use_pallas=use_pallas,
+        )
     if _pallas_smooth_ok(level, u, use_pallas):
         from ..ops.pallas import pallas_block_jacobi_multisweep
 
@@ -172,13 +201,26 @@ def _smooth_n(level, u, rhs, n_sweeps, alpha, use_pallas):
     return u
 
 
-def _smooth_n_residual(level, u, rhs, n_sweeps, alpha, use_pallas):
+def _smooth_n_residual(level, u, rhs, n_sweeps, alpha, use_pallas, shard=None):
     """``_smooth_n`` fused with the post-smoothing residual ``rhs - A u``
     (one HBM pass on the Pallas path — the restrict-side matvec is free)."""
-    from ..smoothers.smoother import ChebyshevSmoother
+    from ..smoothers.smoother import BlockJacobiSmoother, ChebyshevSmoother
 
     if isinstance(level.smoother, ChebyshevSmoother):
-        return _smooth_cheb(level, u, rhs, n_sweeps, use_pallas, emit_residual=True)
+        return _smooth_cheb(
+            level, u, rhs, n_sweeps, use_pallas, emit_residual=True, shard=shard
+        )
+    if (
+        shard is not None
+        and isinstance(level, BlockLevel)
+        and isinstance(level.smoother, BlockJacobiSmoother)
+    ):
+        from ..parallel.sharded_kernels import sharded_multisweep
+
+        return sharded_multisweep(
+            shard[0], shard[1], level.a, level.smoother.inv, u, rhs,
+            n_sweeps=n_sweeps, alpha=alpha, emit_residual=True, use_pallas=use_pallas,
+        )
     if _pallas_smooth_ok(level, u, use_pallas):
         from ..ops.pallas import pallas_block_jacobi_multisweep_residual
 
@@ -206,18 +248,30 @@ def v_cycle(
     n_post: int = 3,
     alpha: float = 2.0 / 3.0,
     use_pallas: bool = False,
+    shard=None,
 ) -> jax.Array:
-    """One multigrid V-cycle (cf. ``solvers.jl:19-50``)."""
+    """One multigrid V-cycle (cf. ``solvers.jl:19-50``).
+
+    ``shard = (mesh, axis_name, per_level_sharded_flags)`` (static) routes the
+    flagged block levels' smoothing through the shard_map fused kernels with
+    ppermute halo exchange; everything else (transfers, CG levels, coarse
+    solve) stays on XLA's automatic SPMD partitioning.
+    """
     n = h.n_levels
     u = [None] * n
     rhs = [None] * n
     u[0], rhs[0] = x0, b
 
+    def _lvl_shard(k):
+        return (shard[0], shard[1]) if (shard is not None and shard[2][k]) else None
+
     for k in range(n - 1):
         level = h.levels[k]
         if k > 0:
             u[k] = jnp.zeros_like(rhs[k])
-        u[k], r_k = _smooth_n_residual(level, u[k], rhs[k], n_pre, alpha, use_pallas)
+        u[k], r_k = _smooth_n_residual(
+            level, u[k], rhs[k], n_pre, alpha, use_pallas, shard=_lvl_shard(k)
+        )
         rhs[k + 1] = _pad_cg(
             h.levels[k + 1], transfer_restrict(h.transfers[k], _crop_cg(level, r_k))
         )
@@ -230,7 +284,7 @@ def v_cycle(
         level = h.levels[k]
         corr = transfer_prolong(h.transfers[k], _crop_cg(h.levels[k + 1], u[k + 1]))
         u[k] = u[k] + _pad_cg(level, corr)
-        u[k] = _smooth_n(level, u[k], rhs[k], n_post, alpha, use_pallas)
+        u[k] = _smooth_n(level, u[k], rhs[k], n_post, alpha, use_pallas, shard=_lvl_shard(k))
     return u[0]
 
 
@@ -273,20 +327,26 @@ def multigrid(
     n_post: int = 3,
     alpha: float = 2.0 / 3.0,
     compute_error: bool = True,
+    use_pallas: bool = False,
+    shard=None,
 ) -> MultigridResult:
     """Outer V-cycle iteration until ``||Ax - b|| < tol * ||b||`` (``solvers.jl:116-139``).
 
     ``err_history`` tracks ``||x - A^-1 b||`` against a dense direct solve of the
     finest operator, like the reference; disable via ``compute_error`` for large
     problems (the reference has no such guard — it always pays the sparse solve).
+    ``shard`` as in :func:`v_cycle` (``parallel.distributed.fused_shard_spec``).
     """
     u_exact = _dense_fine_solve(h, b) if compute_error else None
     return _multigrid_loop(
-        h, x0, b, u_exact, maxiter=maxiter, tol=tol, n_pre=n_pre, n_post=n_post, alpha=alpha
+        h, x0, b, u_exact, maxiter=maxiter, tol=tol, n_pre=n_pre, n_post=n_post,
+        alpha=alpha, use_pallas=use_pallas, shard=shard,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter", "n_pre", "n_post", "alpha"))
+@functools.partial(
+    jax.jit, static_argnames=("maxiter", "n_pre", "n_post", "alpha", "use_pallas", "shard")
+)
 def _multigrid_loop(
     h: Hierarchy,
     x0: jax.Array,
@@ -298,6 +358,8 @@ def _multigrid_loop(
     n_pre: int,
     n_post: int,
     alpha: float,
+    use_pallas: bool = False,
+    shard=None,
 ) -> MultigridResult:
     fine = h.levels[0]
     norm_b = jnp.linalg.norm(_flatten_level_vec(b))
@@ -305,7 +367,10 @@ def _multigrid_loop(
 
     def body(state):
         x, i, res_h, err_h, _ = state
-        x = v_cycle(h, x, b, n_pre=n_pre, n_post=n_post, alpha=alpha)
+        x = v_cycle(
+            h, x, b, n_pre=n_pre, n_post=n_post, alpha=alpha,
+            use_pallas=use_pallas, shard=shard,
+        )
         res = jnp.linalg.norm(_flatten_level_vec(level_matvec(fine, x) - b))
         res_h = res_h.at[i].set(res)
         if u_exact is not None:

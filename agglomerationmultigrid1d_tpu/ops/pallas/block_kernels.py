@@ -160,26 +160,41 @@ def pallas_bt_matvec(a: BlockTridiag, x: jax.Array, interpret: bool = False) -> 
 
 
 def _wide_sweep_kernel(
+    gops, gvec,
     adc, adl, adr, alc, all_, alr, auc, aul, aur, bic, bil, bir,
     xc, xl, xr, bc, bl, br, *outs, alpha, bs, n_sweeps, halo, tile,
     emit_residual=False,
 ):
+    """Temporally-blocked multisweep over a widened tile.
+
+    ``gops``/``gvec`` are *shard ghosts*: ``gops[s, :, :, :halo]`` is the left
+    neighbor shard's last ``halo`` operator columns for stream s (diag, lower,
+    upper, binv) and ``[..., halo:]`` the right neighbor's first columns;
+    ``gvec[0/1]`` likewise for x and b.  Zero ghosts reproduce the global
+    zero-Dirichlet boundary exactly (residual, update and iterate all vanish in
+    the ghost region), so the single-device path passes zeros; under
+    ``shard_map`` the wrapper fills them with one ``ppermute`` per side and the
+    center ``tile`` columns are exact for ``n_sweeps <= halo``.
+    """
     i = pl.program_id(0)
+    ni = pl.num_programs(0)
     w = tile + 2 * halo
 
-    def widen(c, l, r):
-        return jnp.concatenate([l[...], c[...], r[...]], axis=-1)
+    def widen(c, l, r, gl, gr):
+        lft = jnp.where(i == 0, gl, l[...])
+        rgt = jnp.where(i == ni - 1, gr, r[...])
+        return jnp.concatenate([lft, c[...], rgt], axis=-1)
 
-    ad = widen(adc, adl, adr)
-    al = widen(alc, all_, alr)
-    au = widen(auc, aul, aur)
-    bi = widen(bic, bil, bir)
-    bw = widen(bc, bl, br)
-    xw = widen(xc, xl, xr)
+    ad = widen(adc, adl, adr, gops[0, :, :, 0:halo], gops[0, :, :, halo:])
+    al = widen(alc, all_, alr, gops[1, :, :, 0:halo], gops[1, :, :, halo:])
+    au = widen(auc, aul, aur, gops[2, :, :, 0:halo], gops[2, :, :, halo:])
+    bi = widen(bic, bil, bir, gops[3, :, :, 0:halo], gops[3, :, :, halo:])
+    xw = widen(xc, xl, xr, gvec[0, :, 0:halo], gvec[0, :, halo:])
+    bw = widen(bc, bl, br, gvec[1, :, 0:halo], gvec[1, :, halo:])
 
-    n_total = pl.num_programs(0) * tile
+    n_total = ni * tile
     gcol = jax.lax.broadcasted_iota(jnp.int32, (bs, w), 1) + i * tile - halo
-    valid = (gcol >= 0) & (gcol < n_total)
+    valid = (gcol >= -halo) & (gcol < n_total + halo)
     xw = jnp.where(valid, xw, 0.0)
 
     def mat(m, v):
@@ -190,9 +205,9 @@ def _wide_sweep_kernel(
 
     def residual(xw):
         xm = pltpu.roll(xw, jnp.int32(1), axis=1)
-        xm = jnp.where(gcol - 1 >= 0, xm, 0.0)
+        xm = jnp.where(gcol - 1 >= -halo, xm, 0.0)
         xp = pltpu.roll(xw, jnp.int32(w - 1), axis=1)
-        xp = jnp.where(gcol + 1 < n_total, xp, 0.0)
+        xp = jnp.where(gcol + 1 < n_total + halo, xp, 0.0)
         return bw - mat(ad, xw) - mat(al, xm) - mat(au, xp)
 
     for _ in range(n_sweeps):
@@ -235,7 +250,8 @@ def _halo_specs(bs: int, tile: int, halo: int):
 
 
 def _wide_cheb_kernel(
-    coef, adc, adl, adr, alc, all_, alr, auc, aul, aur, bic, bil, bir,
+    coef, gops, gvec,
+    adc, adl, adr, alc, all_, alr, auc, aul, aur, bic, bil, bir,
     xc, xl, xr, bc, bl, br, *outs, bs, degree, halo, tile, emit_residual=False,
 ):
     """Temporally-blocked Chebyshev smoothing: all ``degree`` steps of the
@@ -243,23 +259,30 @@ def _wide_cheb_kernel(
     as ``_wide_sweep_kernel``; each step consumes one halo column per side).
 
     ``coef`` is a (degree, 2) SMEM array: step i does
-    ``z = Binv (b - A x); d = coef[i,0] * d + coef[i,1] * z; x += d``."""
+    ``z = Binv (b - A x); d = coef[i,0] * d + coef[i,1] * z; x += d``.
+    ``gops``/``gvec`` are the shard ghosts (see ``_wide_sweep_kernel``); note
+    the Chebyshev correction ``d`` starts at zero in the ghost region, matching
+    the neighbor's own recurrence exactly (d is a pure function of the initial
+    x/b in the +-degree neighborhood, which the ghosts supply)."""
     i = pl.program_id(0)
+    ni = pl.num_programs(0)
     w = tile + 2 * halo
 
-    def widen(c, l, r):
-        return jnp.concatenate([l[...], c[...], r[...]], axis=-1)
+    def widen(c, l, r, gl, gr):
+        lft = jnp.where(i == 0, gl, l[...])
+        rgt = jnp.where(i == ni - 1, gr, r[...])
+        return jnp.concatenate([lft, c[...], rgt], axis=-1)
 
-    ad = widen(adc, adl, adr)
-    al = widen(alc, all_, alr)
-    au = widen(auc, aul, aur)
-    bi = widen(bic, bil, bir)
-    bw = widen(bc, bl, br)
-    xw = widen(xc, xl, xr)
+    ad = widen(adc, adl, adr, gops[0, :, :, 0:halo], gops[0, :, :, halo:])
+    al = widen(alc, all_, alr, gops[1, :, :, 0:halo], gops[1, :, :, halo:])
+    au = widen(auc, aul, aur, gops[2, :, :, 0:halo], gops[2, :, :, halo:])
+    bi = widen(bic, bil, bir, gops[3, :, :, 0:halo], gops[3, :, :, halo:])
+    xw = widen(xc, xl, xr, gvec[0, :, 0:halo], gvec[0, :, halo:])
+    bw = widen(bc, bl, br, gvec[1, :, 0:halo], gvec[1, :, halo:])
 
-    n_total = pl.num_programs(0) * tile
+    n_total = ni * tile
     gcol = jax.lax.broadcasted_iota(jnp.int32, (bs, w), 1) + i * tile - halo
-    valid = (gcol >= 0) & (gcol < n_total)
+    valid = (gcol >= -halo) & (gcol < n_total + halo)
     xw = jnp.where(valid, xw, 0.0)
 
     def mat(m, v):
@@ -270,9 +293,9 @@ def _wide_cheb_kernel(
 
     def residual(xw):
         xm = pltpu.roll(xw, jnp.int32(1), axis=1)
-        xm = jnp.where(gcol - 1 >= 0, xm, 0.0)
+        xm = jnp.where(gcol - 1 >= -halo, xm, 0.0)
         xp = pltpu.roll(xw, jnp.int32(w - 1), axis=1)
-        xp = jnp.where(gcol + 1 < n_total, xp, 0.0)
+        xp = jnp.where(gcol + 1 < n_total + halo, xp, 0.0)
         return bw - mat(ad, xw) - mat(al, xm) - mat(au, xp)
 
     d = jnp.zeros_like(xw)
@@ -302,15 +325,46 @@ def chebyshev_coefficients(lam_lo, lam_hi, degree: int):
     return jnp.stack(rows).astype(jnp.float32)
 
 
+def multisweep_shapes_ok(bs: int, n: int, dtype, n_steps: int) -> bool:
+    """Whether the temporally-blocked kernels support these (local) shapes —
+    the ghosted shard_map path must decide statically before calling."""
+    halo = 128
+    tile = _pick_tile(bs, n, dtype)
+    return (
+        jnp.dtype(dtype) == jnp.float32
+        and n_steps < halo
+        and tile % halo == 0
+        and n % tile == 0
+        and n >= 2 * tile
+    )
+
+
+def _zero_ghosts(bs: int, halo: int, dtype):
+    return (
+        jnp.zeros((4, bs, bs, 2 * halo), dtype),
+        jnp.zeros((2, bs, 2 * halo), dtype),
+    )
+
+
+def _ghost_specs():
+    """Full-array VMEM specs for the shard-ghost inputs (constant index map)."""
+    g_ops = pl.BlockSpec(memory_space=pltpu.VMEM)
+    g_vec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return g_ops, g_vec
+
+
 @functools.partial(jax.jit, static_argnames=("degree", "interpret", "emit_residual"))
 def pallas_chebyshev_multisweep(
     a: BlockTridiag, s_inv: jax.Array, x: jax.Array, b: jax.Array, coef: jax.Array,
     degree: int = 3, interpret: bool = False, emit_residual: bool = False,
+    ghosts=None,
 ):
     """All ``degree`` Chebyshev smoothing steps fused into one HBM pass
     (optionally also emitting ``r = b - A x_new``).  ``coef`` from
     :func:`chebyshev_coefficients`.  Falls back to an unfused XLA recurrence
-    for awkward shapes/dtypes."""
+    for awkward shapes/dtypes.  ``ghosts = (gops, gvec)`` supplies neighbor
+    shard columns under ``shard_map`` (see ``_wide_sweep_kernel``); the
+    fallback path is only valid for ``ghosts=None`` (global arrays)."""
     bs, _, n = a.diag.shape
     halo = 128
     tile = _pick_tile(bs, n, x.dtype)
@@ -321,6 +375,11 @@ def pallas_chebyshev_multisweep(
         or n % tile != 0
         or n < 2 * tile
     ):
+        if ghosts is not None:
+            raise ValueError(
+                "ghosted chebyshev multisweep requires f32 and tile-divisible "
+                f"local shapes (got dtype={x.dtype}, n={n}, tile={tile})"
+            )
         d = jnp.zeros_like(x)
         cf = coef.astype(x.dtype)
         for s in range(degree):
@@ -331,9 +390,11 @@ def pallas_chebyshev_multisweep(
             return x, b - bt_matvec(a, x)
         return x
 
+    gops, gvec = _zero_ghosts(bs, halo, x.dtype) if ghosts is None else ghosts
     (m_c, m_l, m_r), (v_c, v_l, v_r) = _halo_specs(bs, tile, halo)
+    g_ops_spec, g_vec_spec = _ghost_specs()
     in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        [pl.BlockSpec(memory_space=pltpu.SMEM), g_ops_spec, g_vec_spec]
         + [m_c, m_l, m_r] * 4
         + [v_c, v_l, v_r] * 2
     )
@@ -341,7 +402,7 @@ def pallas_chebyshev_multisweep(
         _wide_cheb_kernel, bs=bs, degree=degree, halo=halo, tile=tile,
         emit_residual=emit_residual,
     )
-    args = [coef]
+    args = [coef, gops, gvec]
     for arr in (a.diag, a.lower, a.upper, s_inv):
         args += [arr, arr, arr]
     args += [x, x, x, b, b, b]
@@ -380,7 +441,7 @@ def pallas_block_jacobi_multisweep_residual(
     return _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, True)
 
 
-def _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, emit_residual):
+def _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, emit_residual, ghosts=None):
     bs, _, n = a.diag.shape
     halo = 128  # last-dim block sizes must be multiples of 128 on TPU
     tile = _pick_tile(bs, n, x.dtype)
@@ -391,6 +452,11 @@ def _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, emit_residual):
         or n % tile != 0
         or n < 2 * tile
     ):
+        if ghosts is not None:
+            raise ValueError(
+                "ghosted multisweep requires f32 and tile-divisible local "
+                f"shapes (got dtype={x.dtype}, n={n}, tile={tile})"
+            )
         from ...smoothers.smoother import BlockJacobiSmoother, apply_smoother
 
         sm = BlockJacobiSmoother(inv=s_inv)
@@ -400,16 +466,19 @@ def _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, emit_residual):
             return x, b - bt_matvec(a, x)
         return x
 
+    gops, gvec = _zero_ghosts(bs, halo, x.dtype) if ghosts is None else ghosts
     (m_c, m_l, m_r), (v_c, v_l, v_r) = _halo_specs(bs, tile, halo)
+    g_ops_spec, g_vec_spec = _ghost_specs()
     in_specs = (
-        [m_c, m_l, m_r] * 4  # ad, al, au, binv
+        [g_ops_spec, g_vec_spec]
+        + [m_c, m_l, m_r] * 4  # ad, al, au, binv
         + [v_c, v_l, v_r] * 2  # x, b
     )
     kernel = functools.partial(
         _wide_sweep_kernel, alpha=alpha, bs=bs, n_sweeps=n_sweeps, halo=halo, tile=tile,
         emit_residual=emit_residual,
     )
-    args = []
+    args = [gops, gvec]
     for arr in (a.diag, a.lower, a.upper, s_inv):
         args += [arr, arr, arr]
     args += [x, x, x, b, b, b]

@@ -173,10 +173,40 @@ def unshard_vector(x: jax.Array, h: Hierarchy) -> jax.Array:
     return x
 
 
-def distributed_v_cycle(h: Hierarchy, x0, b, **kw):
-    """Jitted V-cycle on a sharded hierarchy (XLA inserts the collectives)."""
-    return jax.jit(lambda hh, x, bb: v_cycle(hh, x, bb, **kw))(h, x0, b)
+def fused_shard_spec(h: Hierarchy, mesh: Mesh) -> tuple:
+    """Build the ``shard=(mesh, axis, flags)`` argument for the fused-kernel
+    V-cycle path from an already-sharded hierarchy.
+
+    A level is flagged when its operator arrays actually carry the element-axis
+    sharding (inspected, not re-derived — so the flags can never disagree with
+    what :func:`shard_hierarchy` did).  Flagged block levels run their smoother
+    sweeps as the temporally-blocked Pallas multisweep *inside* ``shard_map``
+    with ppermute halo exchange (``parallel.sharded_kernels``); CG levels and
+    replicated levels stay on XLA's automatic SPMD partitioning.
+    """
+    flags = []
+    for lv in h.levels:
+        ok = isinstance(lv, BlockLevel)
+        if ok:
+            spec = getattr(lv.a.diag.sharding, "spec", P())
+            ok = spec == P(None, None, AXIS)
+        flags.append(bool(ok))
+    return (mesh, AXIS, tuple(flags))
 
 
-def distributed_multigrid(h: Hierarchy, x0, b, maxiter=100, tol=1e-10, **kw) -> MultigridResult:
+def distributed_v_cycle(h: Hierarchy, x0, b, mesh: Mesh | None = None, fused=False, **kw):
+    """Jitted V-cycle on a sharded hierarchy (XLA inserts the collectives).
+
+    ``fused=True`` (requires ``mesh``) routes sharded block levels through the
+    shard_map fused smoother kernels — the north-star scaling path."""
+    shard = fused_shard_spec(h, mesh) if fused else None
+    return jax.jit(lambda hh, x, bb: v_cycle(hh, x, bb, shard=shard, **kw))(h, x0, b)
+
+
+def distributed_multigrid(
+    h: Hierarchy, x0, b, maxiter=100, tol=1e-10, *, mesh: Mesh | None = None,
+    fused=False, **kw
+) -> MultigridResult:
+    if fused:
+        kw["shard"] = fused_shard_spec(h, mesh)
     return multigrid(h, x0, b, maxiter, tol, **kw)

@@ -1,0 +1,174 @@
+"""Fused Pallas smoother sweeps *inside* ``jax.shard_map``.
+
+The north-star metric is smoother nnz/s at multiple hosts: that requires the
+temporally-blocked multisweep kernel (``ops.pallas.block_kernels``) to run on
+each device's local shard with real neighbor data, not the XLA einsum path.
+The recipe per smoother application:
+
+1. exchange one kernel-halo (128 columns) of x, b and the four operator
+   streams with the two ring neighbors via ``lax.ppermute`` (devices without a
+   source keep zeros — exactly the global boundary);
+2. run the widened-tile multisweep on the local shard, passing the ghosts into
+   the kernel (``_wide_sweep_kernel``'s ``gops``/``gvec``), so the center
+   columns are exact for ``n_sweeps <= 128``;
+3. XLA overlaps the tiny ppermutes (a few KB) with the previous level's work.
+
+For dtypes/shapes the kernel can't take (f64 parity runs, small coarse shards)
+the local function degrades to a halo-aware XLA sweep built on
+:func:`..parallel.halo.halo_shift` — same numerics, no fused pass.
+
+The reference is a serial solver (no distributed code to mirror,
+``SURVEY.md`` §2 "Parallelism strategies — NONE"); this module is the
+TPU-native scaling path prescribed by BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..ops.block_tridiag import BlockTridiag
+from ..ops.pallas.block_kernels import (
+    _multisweep_impl,
+    multisweep_shapes_ok,
+    pallas_chebyshev_multisweep,
+)
+from .halo import halo_shift
+
+HALO = 128  # kernel halo width (TPU lane granularity)
+
+
+def _edge_ghosts(arr: jax.Array, axis: str) -> jax.Array:
+    """(…, 2*HALO): left neighbor's last HALO columns | right neighbor's first.
+
+    Ring-edge devices keep zero fill (= the global zero-Dirichlet boundary the
+    kernels assume beyond the domain).
+    """
+    n_dev = lax.axis_size(axis)
+    to_right = [(i, i + 1) for i in range(n_dev - 1)]
+    to_left = [(i, i - 1) for i in range(1, n_dev)]
+    left = lax.ppermute(arr[..., -HALO:], axis, to_right)
+    right = lax.ppermute(arr[..., :HALO], axis, to_left)
+    return jnp.concatenate([left, right], axis=-1)
+
+
+def _gather_ghosts(ad, al, au, binv, x, b, axis):
+    gops = jnp.stack([_edge_ghosts(m, axis) for m in (ad, al, au, binv)])
+    gvec = jnp.stack([_edge_ghosts(x, axis), _edge_ghosts(b, axis)])
+    return gops, gvec
+
+
+def _halo_matvec(ad, al, au, x, axis):
+    y = jnp.einsum("ijn,jn->in", ad, x)
+    y = y + jnp.einsum("ijn,jn->in", al, halo_shift(x, -1, axis))
+    y = y + jnp.einsum("ijn,jn->in", au, halo_shift(x, +1, axis))
+    return y
+
+
+def _local_multisweep(
+    ad, al, au, binv, x, b, *, axis, n_sweeps, alpha, emit_residual, use_pallas, interpret
+):
+    bs, n_local = x.shape
+    if use_pallas and n_local >= 2 * HALO and multisweep_shapes_ok(bs, n_local, x.dtype, n_sweeps):
+        ghosts = _gather_ghosts(ad, al, au, binv, x, b, axis)
+        a = BlockTridiag(lower=al, diag=ad, upper=au)
+        return _multisweep_impl(
+            a, binv, x, b, n_sweeps, alpha, interpret, emit_residual, ghosts=ghosts
+        )
+    # halo-aware XLA fallback (f64 parity runs / awkward local shapes)
+    for _ in range(n_sweeps):
+        r = b - _halo_matvec(ad, al, au, x, axis)
+        x = x + alpha * jnp.einsum("ijn,jn->in", binv, r)
+    if emit_residual:
+        return x, b - _halo_matvec(ad, al, au, x, axis)
+    return x
+
+
+def _local_cheb(
+    coef, ad, al, au, binv, x, b, *, axis, degree, emit_residual, use_pallas, interpret
+):
+    bs, n_local = x.shape
+    if use_pallas and n_local >= 2 * HALO and multisweep_shapes_ok(bs, n_local, x.dtype, degree):
+        ghosts = _gather_ghosts(ad, al, au, binv, x, b, axis)
+        a = BlockTridiag(lower=al, diag=ad, upper=au)
+        return pallas_chebyshev_multisweep(
+            a, binv, x, b, coef, degree,
+            interpret=interpret, emit_residual=emit_residual, ghosts=ghosts,
+        )
+    cf = coef.astype(x.dtype)
+    d = jnp.zeros_like(x)
+    for s in range(degree):
+        z = jnp.einsum(
+            "ijn,jn->in", binv, b - _halo_matvec(ad, al, au, x, axis)
+        )
+        d = cf[s, 0] * d + cf[s, 1] * z
+        x = x + d
+    if emit_residual:
+        return x, b - _halo_matvec(ad, al, au, x, axis)
+    return x
+
+
+def sharded_multisweep(
+    mesh,
+    axis: str,
+    a: BlockTridiag,
+    s_inv: jax.Array,
+    x: jax.Array,
+    b: jax.Array,
+    *,
+    n_sweeps: int = 3,
+    alpha: float = 2.0 / 3.0,
+    emit_residual: bool = False,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """``n_sweeps`` fused damped block-Jacobi sweeps on an element-sharded
+    operator: the Pallas multisweep per shard + one 128-column ppermute halo
+    per side (optionally also emitting ``r = b - A x_new``)."""
+    m = P(None, None, axis)
+    v = P(None, axis)
+    fn = functools.partial(
+        _local_multisweep,
+        axis=axis, n_sweeps=n_sweeps, alpha=alpha,
+        emit_residual=emit_residual, use_pallas=use_pallas, interpret=interpret,
+    )
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(m, m, m, m, v, v),
+        out_specs=(v, v) if emit_residual else v,
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )(a.diag, a.lower, a.upper, s_inv, x, b)
+
+
+def sharded_chebyshev_multisweep(
+    mesh,
+    axis: str,
+    a: BlockTridiag,
+    s_inv: jax.Array,
+    x: jax.Array,
+    b: jax.Array,
+    coef: jax.Array,
+    *,
+    degree: int = 3,
+    emit_residual: bool = False,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """Degree-``degree`` Chebyshev smoothing, sharded (see sharded_multisweep)."""
+    m = P(None, None, axis)
+    v = P(None, axis)
+    fn = functools.partial(
+        _local_cheb,
+        axis=axis, degree=degree,
+        emit_residual=emit_residual, use_pallas=use_pallas, interpret=interpret,
+    )
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, None), m, m, m, m, v, v),
+        out_specs=(v, v) if emit_residual else v,
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )(coef, a.diag, a.lower, a.upper, s_inv, x, b)
