@@ -3,12 +3,16 @@
 TPU-native counterpart of ``src/agglomerated_dg_mesh.jl``.  One class covers
 both the reference's ``AgglomeratedDgMesh1`` (first agglomeration level, built
 from base CG/DG elements, ``:31-47``) and ``AgglomeratedDgMeshN`` (recursive
-levels, ``:62-72``): agglomerate c always owns the *contiguous* run of base
-elements ``c*r_base .. (c+1)*r_base - 1`` (the only pattern the reference's test
-suite exercises), so every table batches into dense arrays:
+levels, ``:62-72``).  Agglomerate ``c`` owns the *contiguous* run of base
+elements ``offsets[c] .. offsets[c] + sizes[c] - 1``; sizes may vary per
+agglomerate (the reference's arbitrary ``agg::Vector{Vector{Int64}}`` partition,
+``:400-495``, restricted to contiguous runs — the only partitions that keep 1D
+operators block-tridiagonal, and the only ones its tests exercise).  Every table
+batches into dense arrays padded to the max run length ``r_max`` with ZERO
+jacobians, which makes the padding exactly inert in all quadrature sums:
 
 * ``boxes``       (m, 2)            bounding boxes [x_left, x_right]
-* ``basis_q``     (m, r_base, n_q, p+1)  modal basis at base-element-mapped
+* ``basis_q``     (m, r_max, n_q, p+1)  modal basis at base-element-mapped
                                      Gauss points (``mBasisGQFunVal``, ``:103-128``)
 * ``deriv_vals``  (m, p+1)          constant modal derivatives ([0, 2/h], ``:131``)
 * ``bd_left/right`` (m, p+1)         boundary basis values at the agglomerate
@@ -36,14 +40,17 @@ from .topology import Mesh1D
 class AggMesh:
     p: int  # modal order, 0 or 1
     mesh: Mesh1D  # the BASE topological mesh (geometry provider)
-    r_base: int  # base elements per agglomerate
-    r_sub: int  # sub-(agg-)elements per agglomerate (== r_base on level 1)
+    sizes: np.ndarray  # (m,) base elements per agglomerate
+    offsets: np.ndarray  # (m,) first base element of each agglomerate
+    sub_sizes: np.ndarray  # (m,) sub-(agg-)elements per agglomerate (== sizes on level 1)
+    sub_offsets: np.ndarray  # (m,) first sub-element of each agglomerate
     n_agg: int
     quad_nodes: np.ndarray  # (n_q,)
     quad_weights: np.ndarray  # (n_q,)
     boxes: np.ndarray  # (m, 2)
-    basis_q: np.ndarray  # (m, r_base, n_q, p+1)
-    x_quad: np.ndarray  # (m, r_base, n_q) mapped quadrature points
+    basis_q: np.ndarray  # (m, r_max, n_q, p+1); rows past sizes[c] are padding
+    x_quad: np.ndarray  # (m, r_max, n_q) mapped quadrature points
+    jacs: np.ndarray  # (m, r_max) base jacobians, ZERO in the padding
     deriv_vals: np.ndarray  # (m, p+1)
     bd_left: np.ndarray  # (m, p+1)
     bd_right: np.ndarray  # (m, p+1)
@@ -62,46 +69,126 @@ class AggMesh:
     def n_nodes(self) -> int:
         return self.n_agg * (self.p + 1)
 
+    @property
+    def r_max(self) -> int:
+        return self.basis_q.shape[1]
+
+    @property
+    def uniform_r(self) -> int | None:
+        """Group size if uniform (enables the reshape fast paths), else None."""
+        s = int(self.sizes[0])
+        return s if bool((self.sizes == s).all()) else None
+
+    @property
+    def sub_uniform_r(self) -> int | None:
+        s = int(self.sub_sizes[0])
+        return s if bool((self.sub_sizes == s).all()) else None
+
+    # kept names from the uniform-only first version (bench/tests use them)
+    @property
+    def r_base(self) -> int:
+        r = self.uniform_r
+        if r is None:
+            raise ValueError("ragged agglomeration has no single r_base; use sizes")
+        return r
+
+    @property
+    def r_sub(self) -> int:
+        r = self.sub_uniform_r
+        if r is None:
+            raise ValueError("ragged agglomeration has no single r_sub; use sub_sizes")
+        return r
+
     def base_jacobians(self) -> np.ndarray:
-        """(m, r_base) jacobians of the base elements of each agglomerate."""
-        return self.mesh.jacobians.reshape(self.n_agg, self.r_base)
+        """(m, r_max) jacobians of the base elements of each agglomerate,
+        zero-padded past ``sizes[c]``."""
+        return self.jacs
+
+
+def _normalize_partition(n_base: int, partition) -> np.ndarray:
+    """Partition spec -> (m,) sizes.  Accepts a sequence of group sizes or the
+    reference's explicit element-id lists (``agg::Vector{Vector{Int64}}``,
+    0-based here), which must be contiguous runs covering 0..n_base-1 in order."""
+    part = list(partition)
+    if part and hasattr(part[0], "__len__"):
+        sizes = []
+        expect = 0
+        for group in part:
+            ids = np.asarray(group)
+            if ids.size == 0 or not np.array_equal(ids, np.arange(expect, expect + ids.size)):
+                raise ValueError(
+                    "agglomerates must be contiguous, in-order runs of base element "
+                    f"ids (group starting at {expect} got {ids.tolist()}); "
+                    "non-contiguous agglomerates would break the 1D block-tridiagonal "
+                    "operator structure"
+                )
+            sizes.append(ids.size)
+            expect += ids.size
+        sizes = np.asarray(sizes, dtype=np.int64)
+    else:
+        sizes = np.asarray(part, dtype=np.int64)
+    if sizes.min() < 1 or sizes.sum() != n_base:
+        raise ValueError(
+            f"partition sizes {sizes.tolist()} must be >= 1 and sum to n_base={n_base}"
+        )
+    return sizes
 
 
 def make_agg_mesh(
     p: int,
     mesh: Mesh1D,
-    r_base: int,
+    r_base: int | None = None,
     *,
+    partition=None,
     r_sub: int | None = None,
+    sub_sizes: np.ndarray | None = None,
 ) -> AggMesh:
     """Build an agglomeration level directly from the base mesh geometry.
 
-    ``r_base`` is the total number of base elements per agglomerate at *this*
-    level; ``r_sub`` the grouping factor relative to the previous (finer) level
-    (defaults to ``r_base``, i.e. a first agglomeration level).
+    Either ``r_base`` (uniform: every agglomerate takes ``r_base`` consecutive
+    base elements) or ``partition`` (arbitrary contiguous partition: a sequence
+    of group sizes, or the reference's explicit element-id lists,
+    ``agglomerated_dg_mesh.jl:400-495``).  ``sub_sizes`` records how many
+    *previous-level* elements each agglomerate merges (defaults to the base
+    sizes, i.e. a first agglomeration level); the recursive constructor
+    :func:`coarsen_agg_mesh` fills it.
 
-    The reference builds higher levels from the finer agg level's element lists
-    (``agglomerated_dg_mesh.jl:501-559``); with contiguous uniform groups the
-    result depends only on (p, base mesh, r_base), which is what we take.  The
-    reference hierarchy also re-uses whichever CG/DG mesh for geometry — all its
+    The reference hierarchy re-uses whichever CG/DG mesh for geometry — all its
     CG meshes share element geometry, so taking the topological mesh directly
     resolves SURVEY §7 quirk (d) explicitly.
     """
-    if r_sub is None:
-        r_sub = r_base
     n_base = mesh.n_elements
-    if n_base % r_base:
-        raise ValueError("number of base elements must divide into agglomerates")
-    m = n_base // r_base
+    if (r_base is None) == (partition is None):
+        raise ValueError("give exactly one of r_base or partition")
+    if partition is not None:
+        sizes = _normalize_partition(n_base, partition)
+    else:
+        if n_base % r_base:
+            raise ValueError(
+                "number of base elements must divide into uniform agglomerates; "
+                "pass an explicit partition for ragged sizes"
+            )
+        sizes = np.full(n_base // r_base, r_base, dtype=np.int64)
+    m = sizes.shape[0]
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    r_max = int(sizes.max())
+
+    if sub_sizes is None:
+        sub_sizes = sizes.copy() if r_sub is None else np.full(m, r_sub, dtype=np.int64)
+    sub_offsets = np.concatenate([[0], np.cumsum(sub_sizes)[:-1]])
 
     qx, qw = gauss_quad(2 * p)
-    n_q = qx.shape[0]
 
     vx = mesh.vertex_x
-    boxes = np.stack([vx[0 : n_base : r_base], vx[r_base : n_base + 1 : r_base]], axis=1)
+    boxes = np.stack([vx[offsets], vx[offsets + sizes]], axis=1)
 
-    centers = mesh.centers.reshape(m, r_base)
-    jacs = mesh.jacobians.reshape(m, r_base)
+    # padded (m, r_max) gather of the base elements; zero jacobian in padding
+    # makes every quadrature contribution of the pad rows exactly zero
+    j_idx = offsets[:, None] + np.arange(r_max)[None, :]
+    valid = np.arange(r_max)[None, :] < sizes[:, None]
+    j_idx = np.minimum(j_idx, n_base - 1)
+    centers = np.where(valid, mesh.centers[j_idx], boxes[:, :1] * 0.5 + boxes[:, 1:] * 0.5)
+    jacs = np.where(valid, mesh.jacobians[j_idx], 0.0)
     x_quad = centers[:, :, None] + jacs[:, :, None] * qx[None, None, :]
 
     basis_q = modal_basis_vals_batched(p, boxes, x_quad)
@@ -121,14 +208,17 @@ def make_agg_mesh(
     return AggMesh(
         p=p,
         mesh=mesh,
-        r_base=r_base,
-        r_sub=r_sub,
+        sizes=sizes,
+        offsets=offsets,
+        sub_sizes=np.asarray(sub_sizes, dtype=np.int64),
+        sub_offsets=sub_offsets,
         n_agg=m,
         quad_nodes=qx,
         quad_weights=qw,
         boxes=boxes,
         basis_q=basis_q,
         x_quad=x_quad,
+        jacs=jacs,
         deriv_vals=deriv_vals,
         bd_left=bd_left,
         bd_right=bd_right,
@@ -137,6 +227,26 @@ def make_agg_mesh(
     )
 
 
-def coarsen_agg_mesh(fine: AggMesh, r_sub: int = 2) -> AggMesh:
-    """Next agglomeration level merging ``r_sub`` finer agglomerates each."""
-    return make_agg_mesh(fine.p, fine.mesh, fine.r_base * r_sub, r_sub=r_sub)
+def coarsen_agg_mesh(fine: AggMesh, r_sub: int = 2, *, partition=None) -> AggMesh:
+    """Next agglomeration level merging finer agglomerates (the reference's
+    recursive ``AgglomeratedDgMeshN`` from sub-agglomerate lists,
+    ``agglomerated_dg_mesh.jl:501-559``).
+
+    ``r_sub`` merges a uniform count of consecutive fine agglomerates;
+    ``partition`` gives explicit group sizes (in units of fine agglomerates).
+    """
+    if partition is not None:
+        sub = _normalize_partition(fine.n_agg, partition)
+    else:
+        if fine.n_agg % r_sub:
+            raise ValueError(
+                "fine agglomerate count must divide by r_sub; pass an explicit "
+                "partition for ragged grouping"
+            )
+        sub = np.full(fine.n_agg // r_sub, r_sub, dtype=np.int64)
+    # base-element sizes of each coarse agglomerate = sum of its fine sizes
+    ends = np.cumsum(sub)
+    starts = ends - sub
+    cum = np.concatenate([[0], np.cumsum(fine.sizes)])
+    base_sizes = cum[ends] - cum[starts]
+    return make_agg_mesh(fine.p, fine.mesh, partition=base_sizes, sub_sizes=sub)

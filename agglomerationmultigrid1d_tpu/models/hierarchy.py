@@ -36,9 +36,11 @@ from ..ops.coarse_solve import CoarseSolver, make_coarse_solver
 from ..ops.transfer_ops import (
     BlockProlong,
     CgProlong,
+    RaggedBlockProlong,
     SeamProlong,
     bp_galerkin,
     cgp_galerkin,
+    rbp_galerkin,
 )
 from ..smoothers.smoother import Smoother, cg_smoother, dg_smoother
 from ..transfer.interpolation import (
@@ -50,7 +52,12 @@ from ..transfer.interpolation import (
     dg_dg_interpolation,
 )
 
-Transfer = Union[CgProlong, BlockProlong, SeamProlong]
+Transfer = Union[CgProlong, BlockProlong, RaggedBlockProlong, SeamProlong]
+
+
+def _block_galerkin(l, x: BlockTridiag) -> BlockTridiag:
+    """``L^T X L`` dispatch for block-aligned transfers (uniform or ragged)."""
+    return rbp_galerkin(l, x) if isinstance(l, RaggedBlockProlong) else bp_galerkin(l, x)
 
 
 class CgLevel(NamedTuple):
@@ -154,9 +161,9 @@ def build_hierarchy(
                 g, d, c = dg_flux_operators(mesh, bc, c_dir)
             elif isinstance(fine_mesh, DgMesh):
                 l = dg_dg_interpolation(mesh, fine_mesh)
-                g = bp_galerkin(l, prev.g)
-                d = bp_galerkin(l, prev.d)
-                c = bp_galerkin(l, prev.c)
+                g = _block_galerkin(l, prev.g)
+                d = _block_galerkin(l, prev.d)
+                c = _block_galerkin(l, prev.c)
             else:
                 raise ValueError("DG level below an agglomerated level")
             levels.append(_block_level(g, d, c, mesh.mass_inv))
@@ -169,14 +176,14 @@ def build_hierarchy(
                 g, d, c = agg_flux_operators(mesh, bc, c_dir)
             elif isinstance(fine_mesh, DgMesh):
                 l = aggdg_dg_interpolation(mesh, fine_mesh)
-                g = bp_galerkin(l, prev.g)
-                d = bp_galerkin(l, prev.d)
-                c = bp_galerkin(l, prev.c)
+                g = _block_galerkin(l, prev.g)
+                d = _block_galerkin(l, prev.d)
+                c = _block_galerkin(l, prev.c)
             else:
                 l = aggdg_aggdg_interpolation(mesh, fine_mesh)
-                g = bp_galerkin(l, prev.g)
-                d = bp_galerkin(l, prev.d)
-                c = bp_galerkin(l, prev.c)
+                g = _block_galerkin(l, prev.g)
+                d = _block_galerkin(l, prev.d)
+                c = _block_galerkin(l, prev.c)
             levels.append(_block_level(g, d, c, mesh.mass_inv))
             transfers.append(l)
         else:
@@ -216,9 +223,9 @@ def build_dg_hierarchy(
                 l = aggdg_aggdg_interpolation(mesh, fine_mesh)
         else:
             raise TypeError("DG-topped hierarchies take DG/Agg meshes only")
-        gc = bp_galerkin(l, prev.g)
-        dc = bp_galerkin(l, prev.d)
-        cc = bp_galerkin(l, prev.c)
+        gc = _block_galerkin(l, prev.g)
+        dc = _block_galerkin(l, prev.d)
+        cc = _block_galerkin(l, prev.c)
         levels.append(_block_level(gc, dc, cc, mesh.mass_inv))
         transfers.append(l)
 

@@ -66,9 +66,23 @@ def build_problem(
     meshes += [make_dg_mesh(mesh, p) for p in spec.dg_orders]
     for i in range(spec.n_agg_levels):
         if i == 0:
-            meshes.append(make_agg_mesh(spec.p_agg, mesh, spec.first_agg_factor))
+            n_base, r = mesh.n_elements, spec.first_agg_factor
+            if n_base % r:
+                meshes.append(
+                    make_agg_mesh(spec.p_agg, mesh, partition=_near_uniform_partition(n_base, r))
+                )
+            else:
+                meshes.append(make_agg_mesh(spec.p_agg, mesh, r))
         else:
-            meshes.append(coarsen_agg_mesh(meshes[-1], spec.agg_factor))
+            fine = meshes[-1]
+            if fine.n_agg % spec.agg_factor:
+                meshes.append(
+                    coarsen_agg_mesh(
+                        fine, partition=_near_uniform_partition(fine.n_agg, spec.agg_factor)
+                    )
+                )
+            else:
+                meshes.append(coarsen_agg_mesh(fine, spec.agg_factor))
 
     if spec.cg_orders:
         a, b = cg_stiffness_and_rhs(meshes[0], func, bc)
@@ -108,6 +122,16 @@ def solve(
         alpha=cycle_params.alpha,
         compute_error=solve_params.compute_error,
     )
+
+
+def _near_uniform_partition(n: int, r: int) -> np.ndarray:
+    """Contiguous partition of ``n`` items into groups of ~``r``: when ``r``
+    doesn't divide ``n``, the first groups take one extra item (ragged
+    agglomerates; the hierarchy then works for any element count, not just
+    powers of two)."""
+    m = max(n // r, 1)
+    base, rem = divmod(n, m)
+    return np.asarray([base + 1] * rem + [base] * (m - rem), dtype=np.int64)
 
 
 def default_model_problem():

@@ -22,11 +22,14 @@ from ..ops.coarse_solve import coarse_solve
 from ..ops.transfer_ops import (
     BlockProlong,
     CgProlong,
+    RaggedBlockProlong,
     SeamProlong,
     bp_prolong,
     bp_restrict,
     cgp_prolong,
     cgp_restrict,
+    rbp_prolong,
+    rbp_restrict,
     seam_prolong,
     seam_restrict,
 )
@@ -45,6 +48,8 @@ def transfer_prolong(l, xc):
         return cgp_prolong(l, xc)
     if isinstance(l, BlockProlong):
         return bp_prolong(l, xc)
+    if isinstance(l, RaggedBlockProlong):
+        return rbp_prolong(l, xc)
     if isinstance(l, SeamProlong):
         return seam_prolong(l, xc)
     raise TypeError(type(l))
@@ -55,6 +60,8 @@ def transfer_restrict(l, rf):
         return cgp_restrict(l, rf)
     if isinstance(l, BlockProlong):
         return bp_restrict(l, rf)
+    if isinstance(l, RaggedBlockProlong):
+        return rbp_restrict(l, rf)
     if isinstance(l, SeamProlong):
         return seam_restrict(l, rf)
     raise TypeError(type(l))

@@ -106,6 +106,121 @@ def bp_galerkin(l: BlockProlong, x: BlockTridiag) -> BlockTridiag:
 
 
 # ---------------------------------------------------------------------------
+# RaggedBlockProlong — variable-size agglomerates
+# ---------------------------------------------------------------------------
+
+
+import dataclasses as _dataclasses
+import functools as _functools
+
+
+@_functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("blocks", "sizes", "offsets"),
+    meta_fields=("n_fine",),
+)
+@_dataclasses.dataclass(frozen=True)
+class RaggedBlockProlong:
+    """Block-aligned prolongation with *variable* group sizes: coarse block ``c``
+    owns the contiguous fine blocks ``offsets[c] .. offsets[c] + sizes[c] - 1``.
+
+    Mirrors the reference's arbitrary-partition agglomeration API
+    (``AgglomeratedDgMesh1(p, agg::Vector{Vector{Int64}}, ...)``,
+    ``src/agglomerated_dg_mesh.jl:400-495``) in TPU form: tables padded to the
+    max group size ``r_max`` with ZERO blocks, so clamped-index gathers/scatters
+    need no masks (zero contributions are exact).  :class:`BlockProlong` remains
+    the uniform fast path (pure reshapes on the solve path).
+    """
+
+    blocks: jax.Array  # (r_max, bs_f, bs_c, n_c); rows j >= sizes[c] are zero
+    sizes: jax.Array  # (n_c,) int32
+    offsets: jax.Array  # (n_c,) int32 — running sum of sizes, offsets[0] = 0
+    n_fine: int  # static total fine block count (= sizes.sum())
+
+    @property
+    def r_max(self) -> int:
+        return self.blocks.shape[0]
+
+    @property
+    def bs_fine(self) -> int:
+        return self.blocks.shape[1]
+
+    @property
+    def bs_coarse(self) -> int:
+        return self.blocks.shape[2]
+
+    @property
+    def n_coarse(self) -> int:
+        return self.blocks.shape[3]
+
+
+def _rbp_fine_idx(l: RaggedBlockProlong) -> jax.Array:
+    """(r_max, n_c) fine block index of slot (j, c), clamped into range (the
+    padded slots carry zero blocks, so clamping is harmless)."""
+    idx = l.offsets[None, :] + jnp.arange(l.r_max, dtype=l.offsets.dtype)[:, None]
+    return jnp.minimum(idx, l.n_fine - 1)
+
+
+def rbp_prolong(l: RaggedBlockProlong, xc: jax.Array) -> jax.Array:
+    """``(bs_c, n_c) -> (bs_f, n_fine)``."""
+    contrib = jnp.einsum("jibc,bc->ijc", l.blocks, xc)  # (bs_f, r_max, n_c)
+    out = jnp.zeros((l.bs_fine, l.n_fine), dtype=xc.dtype)
+    return out.at[:, _rbp_fine_idx(l)].add(contrib)
+
+
+def rbp_restrict(l: RaggedBlockProlong, rf: jax.Array) -> jax.Array:
+    """``L^T rf``: ``(bs_f, n_fine) -> (bs_c, n_c)``."""
+    rg = rf[:, _rbp_fine_idx(l)]  # (bs_f, r_max, n_c)
+    return jnp.einsum("jibc,ijc->bc", l.blocks, rg)
+
+
+def _rbp_edge_blocks(l: RaggedBlockProlong):
+    """(first, last): the first and last nonzero block of every group,
+    each ``(bs_f, bs_c, n_c)``."""
+    first = l.blocks[0]
+    j_last = (l.sizes - 1)[None, None, None, :]
+    last = jnp.take_along_axis(
+        l.blocks, jnp.broadcast_to(j_last, (1, *l.blocks.shape[1:])), axis=0
+    )[0]
+    return first, last
+
+
+@jax.jit
+def rbp_galerkin(l: RaggedBlockProlong, x: BlockTridiag) -> BlockTridiag:
+    """``L^T X L`` with ragged groups; coarse result stays block-tridiagonal
+    because groups are contiguous and X couples only +-1 fine neighbors."""
+    idx = _rbp_fine_idx(l)  # (r_max, n_c)
+    dg = x.diag[:, :, idx]  # (bs, bs, r_max, n_c)
+    lg = x.lower[:, :, idx]
+    ug = x.upper[:, :, idx]
+    b = l.blocks  # (r_max, bs, bs_c, n_c)
+
+    # within-group: diag_c = sum_j B_j^T D_j B_j + B_j^T L_j B_{j-1} + B_{j-1}^T U_{j-1} B_j
+    diag = jnp.einsum("jfbc,fgjc,jgdc->bdc", b, dg, b)
+    if l.r_max > 1:
+        diag = diag + jnp.einsum("jfbc,fgjc,jgdc->bdc", b[1:], lg[:, :, 1:], b[:-1])
+        diag = diag + jnp.einsum("jfbc,fgjc,jgdc->bdc", b[:-1], ug[:, :, :-1], b[1:])
+
+    # cross-group: through the first block of group c and the last of c +- 1
+    first, last = _rbp_edge_blocks(l)
+    l_first = x.lower[:, :, jnp.minimum(l.offsets, l.n_fine - 1)]  # L at fine row offsets[c]
+    last_row = jnp.minimum(l.offsets + l.sizes - 1, l.n_fine - 1)
+    u_last = x.upper[:, :, last_row]  # U at each group's last fine row
+    lower = jnp.einsum("fbc,fgc,gdc->bdc", first, l_first, shift(last, -1))
+    upper = jnp.einsum("fbc,fgc,gdc->bdc", last, u_last, shift(first, +1))
+    return BlockTridiag(lower=lower, diag=diag, upper=upper)
+
+
+def ragged_sizes_to_arrays(sizes) -> tuple[jax.Array, jax.Array, int]:
+    """(sizes_i32, offsets_i32, n_fine) from any int sequence."""
+    import numpy as np
+
+    s = np.asarray(sizes, dtype=np.int32)
+    off = np.concatenate([[0], np.cumsum(s)[:-1]]).astype(np.int32)
+    return jnp.asarray(s), jnp.asarray(off), int(s.sum())
+
+
+# ---------------------------------------------------------------------------
 # CgProlong
 # ---------------------------------------------------------------------------
 
@@ -167,6 +282,9 @@ def cgp_galerkin(l: CgProlong, a: CgOperator) -> CgOperator:
 class SeamProlong(NamedTuple):
     n_win: jax.Array  # (w_cg, bs, r, n_c): cross-mass windows, base el e = c*r + j
     inv_lump: jax.Array  # (n_cg_nodes,) inverse lumped CG mass
+    # ragged agglomerates (optional): base el e = offsets[c] + j, zero windows
+    # past sizes[c] (clamped indices are then harmless)
+    offsets: jax.Array | None = None  # (n_c,) int32
 
     @property
     def w_cg(self) -> int:
@@ -187,10 +305,15 @@ class SeamProlong(NamedTuple):
 
 def _seam_indices(l: SeamProlong) -> jax.Array:
     p_cg = l.w_cg - 1
-    c = jnp.arange(l.n_coarse)[None, None, :]
     j = jnp.arange(l.r)[None, :, None]
     a = jnp.arange(l.w_cg)[:, None, None]
-    return (c * l.r + j) * p_cg + a  # (w_cg, r, n_c)
+    if l.offsets is None:
+        c = jnp.arange(l.n_coarse)[None, None, :]
+        el = c * l.r + j
+    else:
+        n_el = (l.inv_lump.shape[0] - 1) // p_cg
+        el = jnp.minimum(l.offsets[None, None, :] + j, n_el - 1)
+    return el * p_cg + a  # (w_cg, r, n_c)
 
 
 def seam_prolong(l: SeamProlong, xc: jax.Array) -> jax.Array:

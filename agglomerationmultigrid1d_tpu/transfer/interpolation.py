@@ -89,11 +89,15 @@ def _seam_to_dense_n(l: SeamProlong) -> jnp.ndarray:
     """Materialize the unscaled cross-mass N (testing / dense variants)."""
     w_cg, bs, r, n_c = l.n_win.shape
     p_cg = w_cg - 1
-    n_rows = (n_c * r) * p_cg + 1
+    n_rows = l.inv_lump.shape[0]
+    n_el = (n_rows - 1) // p_cg
+    base_el = (
+        jnp.arange(n_c) * r if l.offsets is None else jnp.asarray(l.offsets)
+    )
     out = jnp.zeros((n_rows, bs * n_c))
     for j in range(r):
         for a in range(w_cg):
-            rows = (jnp.arange(n_c) * r + j) * p_cg + a
+            rows = jnp.minimum(base_el + j, n_el - 1) * p_cg + a
             for m_ in range(bs):
                 cols = jnp.arange(n_c) * bs + m_
                 out = out.at[rows, cols].add(l.n_win[a, m_, j, :])
@@ -105,21 +109,52 @@ def _seam_to_dense_n(l: SeamProlong) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def aggdg_aggdg_interpolation(coarse: AggMesh, fine: AggMesh) -> BlockProlong:
-    """L2 projection through the fine mass: L = M_f^-1 N, per fine block."""
+def aggdg_aggdg_interpolation(coarse: AggMesh, fine: AggMesh):
+    """L2 projection through the fine mass: L = M_f^-1 N, per fine block.
+
+    Uniform groupings return the reshape-based :class:`BlockProlong`; ragged
+    partitions (the reference's arbitrary ``agg`` lists) a
+    :class:`RaggedBlockProlong`."""
     if coarse.p != fine.p:
         raise ValueError("the two agglomerated meshes must have the same p")
-    r = coarse.r_sub
     mc, bs = coarse.n_agg, coarse.block_size
-    rf = fine.r_base
-    jac = fine.base_jacobians().reshape(mc, r, rf)
-    bf = fine.basis_q.reshape(mc, r, rf, -1, bs)
-    bcx = coarse.basis_q.reshape(mc, r, rf, -1, bs)
-    n_blocks = np.einsum("cjs,l,cjsli,cjslm->cjim", jac, fine.quad_weights, bf, bcx)
+    r = coarse.sub_uniform_r
+    rf = fine.uniform_r
 
-    minv = np.asarray(bd_to_dense_blocks(fine.mass_inv)).reshape(mc, r, bs, bs)
-    l_blocks = np.einsum("cjik,cjkm->cjim", minv, n_blocks)
-    return BlockProlong(jnp.asarray(np.moveaxis(l_blocks, (0, 1), (-1, 0))))
+    # per-FINE-agglomerate cross-mass against the parent coarse basis; the
+    # padded base-element rows carry zero jacobians, so sums are exact
+    parent = np.repeat(np.arange(mc), coarse.sub_sizes)
+    bcx = modal_basis_vals_batched(coarse.p, coarse.boxes[parent], fine.x_quad)
+    n_f = np.einsum(
+        "fs,l,fsli,fslm->fim", fine.jacs, fine.quad_weights, fine.basis_q, bcx
+    )  # (m_f, bs, bs)
+    minv = np.asarray(bd_to_dense_blocks(fine.mass_inv))  # (m_f, bs, bs)
+    l_f = np.einsum("fik,fkm->fim", minv, n_f)
+
+    if r is not None and rf is not None:
+        l_blocks = l_f.reshape(mc, r, bs, bs)
+        return BlockProlong(jnp.asarray(np.moveaxis(l_blocks, (0, 1), (-1, 0))))
+    return _pack_ragged_blocks(l_f, coarse.sub_sizes, coarse.sub_offsets)
+
+
+def _pack_ragged_blocks(per_fine: np.ndarray, sizes, offsets):
+    """(n_f, bs_f, bs_c) per-fine-block matrices -> RaggedBlockProlong with
+    zero padding past each group's size."""
+    from ..ops.transfer_ops import RaggedBlockProlong, ragged_sizes_to_arrays
+
+    m = sizes.shape[0]
+    r_max = int(np.max(sizes))
+    n_f = per_fine.shape[0]
+    idx = np.minimum(offsets[:, None] + np.arange(r_max)[None, :], n_f - 1)
+    valid = np.arange(r_max)[None, :] < np.asarray(sizes)[:, None]
+    blocks = np.where(valid[:, :, None, None], per_fine[idx], 0.0)  # (m, r_max, bsf, bsc)
+    s, off, total = ragged_sizes_to_arrays(sizes)
+    return RaggedBlockProlong(
+        blocks=jnp.asarray(np.moveaxis(blocks, (0, 1), (-1, 0))),
+        sizes=s,
+        offsets=off,
+        n_fine=total,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -127,31 +162,39 @@ def aggdg_aggdg_interpolation(coarse: AggMesh, fine: AggMesh) -> BlockProlong:
 # ---------------------------------------------------------------------------
 
 
-def aggdg_dg_interpolation(agg: AggMesh, base: DgMesh) -> BlockProlong:
+def aggdg_dg_interpolation(agg: AggMesh, base: DgMesh):
     """Modal -> nodal evaluation of the agglomerate basis at base-element nodes."""
-    r, m = agg.r_base, agg.n_agg
-    centers = base.mesh.centers.reshape(m, r)
-    jacs = base.mesh.jacobians.reshape(m, r)
-    xn = centers[:, :, None] + jacs[:, :, None] * base.ref.nodes_x[None, None, :]
-    blocks = modal_basis_vals_batched(agg.p, agg.boxes, xn)  # (m, r, w, bs)
-    return BlockProlong(jnp.asarray(np.moveaxis(blocks, (0, 1), (-1, 0))))
+    m = agg.n_agg
+    parent = np.repeat(np.arange(m), agg.sizes)  # (n_base,)
+    centers, jacs = base.mesh.centers, base.mesh.jacobians
+    xn = centers[:, None] + jacs[:, None] * base.ref.nodes_x[None, :]  # (n_base, w)
+    per_el = modal_basis_vals_batched(agg.p, agg.boxes[parent], xn)  # (n_base, w, bs)
+    r = agg.uniform_r
+    if r is not None:
+        blocks = per_el.reshape(m, r, *per_el.shape[1:])
+        return BlockProlong(jnp.asarray(np.moveaxis(blocks, (0, 1), (-1, 0))))
+    return _pack_ragged_blocks(per_el, agg.sizes, agg.offsets)
 
 
-def aggdg_dg_interpolation2(agg: AggMesh, base: DgMesh) -> BlockProlong:
+def aggdg_dg_interpolation2(agg: AggMesh, base: DgMesh):
     """L2-projection variant through the base mass (``interpolation.jl:294-324``)."""
-    r, m = agg.r_base, agg.n_agg
+    m = agg.n_agg
     w = base.p + 1
     ref = base.ref
-    centers = base.mesh.centers.reshape(m, r)
-    jacs = base.mesh.jacobians.reshape(m, r)
-    xq = centers[:, :, None] + jacs[:, :, None] * ref.quad_nodes[None, None, :]
-    agg_b = modal_basis_vals_batched(agg.p, agg.boxes, xq)  # (m, r, n_q, bs)
+    parent = np.repeat(np.arange(m), agg.sizes)
+    centers, jacs = base.mesh.centers, base.mesh.jacobians
+    xq = centers[:, None] + jacs[:, None] * ref.quad_nodes[None, :]  # (n_base, n_q)
+    agg_b = modal_basis_vals_batched(agg.p, agg.boxes[parent], xq)  # (n_base, n_q, bs)
     n_blocks = np.einsum(
-        "cs,l,li,cslm->csim", jacs, ref.quad_weights, ref.basis_at_quad, agg_b
+        "e,l,li,elm->eim", jacs, ref.quad_weights, ref.basis_at_quad, agg_b
     )
-    minv = np.asarray(bd_to_dense_blocks(base.mass_inv)).reshape(m, r, w, w)
-    l_blocks = np.einsum("cjik,cjkm->cjim", minv, n_blocks)
-    return BlockProlong(jnp.asarray(np.moveaxis(l_blocks, (0, 1), (-1, 0))))
+    minv = np.asarray(bd_to_dense_blocks(base.mass_inv))  # (n_base, w, w)
+    per_el = np.einsum("eik,ekm->eim", minv, n_blocks)
+    r = agg.uniform_r
+    if r is not None:
+        l_blocks = per_el.reshape(m, r, w, agg.block_size)
+        return BlockProlong(jnp.asarray(np.moveaxis(l_blocks, (0, 1), (-1, 0))))
+    return _pack_ragged_blocks(per_el, agg.sizes, agg.offsets)
 
 
 # ---------------------------------------------------------------------------
@@ -160,11 +203,19 @@ def aggdg_dg_interpolation2(agg: AggMesh, base: DgMesh) -> BlockProlong:
 
 
 def aggdg_cg_interpolation(agg: AggMesh, base: CgMesh, interp_flag: int = 1) -> SeamProlong:
-    r, m, bs = agg.r_base, agg.n_agg, agg.block_size
+    m, bs = agg.n_agg, agg.block_size
     w_cg = base.p + 1
     ref = base.ref
-    centers = base.mesh.centers.reshape(m, r)
-    jacs = base.mesh.jacobians.reshape(m, r)
+    uniform = agg.uniform_r is not None
+    r_max = agg.r_max
+    n_el = base.n_elements
+    # padded per-agglomerate gather of the base CG elements (zero jacobian in
+    # the padding rows -> zero windows, so clamped scatter indices are inert)
+    j_idx = np.minimum(agg.offsets[:, None] + np.arange(r_max)[None, :], n_el - 1)
+    valid = np.arange(r_max)[None, :] < agg.sizes[:, None]
+    centers = base.mesh.centers[j_idx]
+    jacs = np.where(valid, base.mesh.jacobians[j_idx], 0.0)
+    seam_offsets = None if uniform else jnp.asarray(agg.offsets.astype(np.int32))
     if interp_flag == 1:
         xq = centers[:, :, None] + jacs[:, :, None] * ref.quad_nodes[None, None, :]
         cg_b = ref.basis_at_quad[:, ref.pos_to_slot]  # (n_q, w_cg) position order
@@ -172,18 +223,21 @@ def aggdg_cg_interpolation(agg: AggMesh, base: CgMesh, interp_flag: int = 1) -> 
         n_win = np.einsum("cs,l,la,cslm->csam", jacs, ref.quad_weights, cg_b, agg_b)
         # (m, r, w_cg, bs) -> (w_cg, bs, r, m)
         n_win = jnp.asarray(n_win.transpose(2, 3, 1, 0))
-        return SeamProlong(n_win=n_win, inv_lump=1.0 / base.lumped_mass)
+        return SeamProlong(
+            n_win=n_win, inv_lump=1.0 / base.lumped_mass, offsets=seam_offsets
+        )
     if interp_flag == 2:
         x_pos = ref.nodes_x[ref.pos_to_slot]
         xn = centers[:, :, None] + jacs[:, :, None] * x_pos[None, None, :]
-        n_el = base.n_elements
         e = modal_basis_vals_batched(agg.p, agg.boxes, xn)  # (m, r, w_cg, bs)
         weights = np.ones((n_el, w_cg))
         weights[1:, 0] = 0.5
         weights[:-1, -1] = 0.5
-        e = e * weights.reshape(m, r, w_cg)[:, :, :, None]
+        e = e * np.where(valid[:, :, None], weights[j_idx], 0.0)[:, :, :, None]
         n_win = jnp.asarray(e.transpose(2, 3, 1, 0))  # (w_cg, bs, r, m)
-        return SeamProlong(n_win=n_win, inv_lump=jnp.ones((base.n_nodes,)))
+        return SeamProlong(
+            n_win=n_win, inv_lump=jnp.ones((base.n_nodes,)), offsets=seam_offsets
+        )
     raise ValueError("interp_flag must be 1 or 2 (0 = dense projection: use *_dense)")
 
 

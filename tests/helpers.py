@@ -32,3 +32,18 @@ def seam_dense(l: SeamProlong) -> np.ndarray:
     """Full dense L = diag(inv_lump) N."""
     n = np.asarray(_seam_to_dense_n(l))
     return np.asarray(l.inv_lump)[:, None] * n
+
+
+def rbp_dense(l) -> np.ndarray:
+    """Dense materialization of a RaggedBlockProlong."""
+    r_max, bs_f, bs_c, nc = l.blocks.shape
+    sizes = np.asarray(l.sizes)
+    offsets = np.asarray(l.offsets)
+    out = np.zeros((l.n_fine * bs_f, nc * bs_c))
+    for c in range(nc):
+        for j in range(int(sizes[c])):
+            f = int(offsets[c]) + j
+            out[f * bs_f : (f + 1) * bs_f, c * bs_c : (c + 1) * bs_c] = np.asarray(
+                l.blocks[j, :, :, c]
+            )
+    return out
