@@ -159,13 +159,70 @@ def pallas_bt_matvec(a: BlockTridiag, x: jax.Array, interpret: bool = False) -> 
 # h >= k the written center T columns are exact.
 
 
+def _seg_ops(gops, gvec, op_tiles, xc, xl, xr, bc, bl, br, i, ni, halo):
+    """Per-segment operands: operator streams stay in (left, center, right)
+    segments — NO (bs, bs, w) concatenation, which would copy every operator
+    element through the VPU — while x and b widen into (bs, w) vectors (cheap).
+    Edge programs take the shard ghosts for their outer halo segment; zero
+    ghosts reproduce the global zero-Dirichlet boundary exactly."""
+    segs = []
+    for s, (c, l, r) in enumerate(op_tiles):
+        lft = jnp.where(i == 0, gops[s, :, :, 0:halo], l[...])
+        rgt = jnp.where(i == ni - 1, gops[s, :, :, halo:], r[...])
+        segs.append((lft, c[...], rgt))
+    xlft = jnp.where(i == 0, gvec[0, :, 0:halo], xl[...])
+    xrgt = jnp.where(i == ni - 1, gvec[0, :, halo:], xr[...])
+    blft = jnp.where(i == 0, gvec[1, :, 0:halo], bl[...])
+    brgt = jnp.where(i == ni - 1, gvec[1, :, halo:], br[...])
+    xw = jnp.concatenate([xlft, xc[...], xrgt], axis=-1)
+    bw = jnp.concatenate([blft, bc[...], brgt], axis=-1)
+    return segs, xw, bw
+
+
+def _mat(m, v, bs):
+    acc = m[:, 0, :] * v[0:1, :]
+    for j in range(1, bs):
+        acc = acc + m[:, j, :] * v[j : j + 1, :]
+    return acc
+
+
+def _seg_apply(op_segs, xw, bs, halo, tile):
+    """Apply segmented operators to the matching slices of a widened vector."""
+    lo, c, r = op_segs
+    return (
+        _mat(lo, xw[:, 0:halo], bs),
+        _mat(c, xw[:, halo : halo + tile], bs),
+        _mat(r, xw[:, halo + tile :], bs),
+    )
+
+
+def _seg_residual(ad, al, au, xw, bw, col, bs, halo, tile, w):
+    """(rL, rC, rR) = segments of b - A x on the widened window.  The outermost
+    window columns use a zero (wrapped-and-masked) neighbor — corrupted by
+    design; corruption moves one column inward per sweep, so the center stays
+    exact for n_sweeps <= halo."""
+    xm = pltpu.roll(xw, jnp.int32(1), axis=1)
+    xm = jnp.where(col == 0, 0.0, xm)
+    xp = pltpu.roll(xw, jnp.int32(w - 1), axis=1)
+    xp = jnp.where(col == w - 1, 0.0, xp)
+    td = _seg_apply(ad, xw, bs, halo, tile)
+    tl = _seg_apply(al, xm, bs, halo, tile)
+    tu = _seg_apply(au, xp, bs, halo, tile)
+    bL, bC, bR = bw[:, 0:halo], bw[:, halo : halo + tile], bw[:, halo + tile :]
+    return (
+        bL - td[0] - tl[0] - tu[0],
+        bC - td[1] - tl[1] - tu[1],
+        bR - td[2] - tl[2] - tu[2],
+    )
+
+
 def _wide_sweep_kernel(
     gops, gvec,
     adc, adl, adr, alc, all_, alr, auc, aul, aur, bic, bil, bir,
     xc, xl, xr, bc, bl, br, *outs, alpha, bs, n_sweeps, halo, tile,
     emit_residual=False,
 ):
-    """Temporally-blocked multisweep over a widened tile.
+    """Temporally-blocked multisweep, segment-wise (see :func:`_seg_ops`).
 
     ``gops``/``gvec`` are *shard ghosts*: ``gops[s, :, :, :halo]`` is the left
     neighbor shard's last ``halo`` operator columns for stream s (diag, lower,
@@ -180,40 +237,23 @@ def _wide_sweep_kernel(
     ni = pl.num_programs(0)
     w = tile + 2 * halo
 
-    def widen(c, l, r, gl, gr):
-        lft = jnp.where(i == 0, gl, l[...])
-        rgt = jnp.where(i == ni - 1, gr, r[...])
-        return jnp.concatenate([lft, c[...], rgt], axis=-1)
-
-    ad = widen(adc, adl, adr, gops[0, :, :, 0:halo], gops[0, :, :, halo:])
-    al = widen(alc, all_, alr, gops[1, :, :, 0:halo], gops[1, :, :, halo:])
-    au = widen(auc, aul, aur, gops[2, :, :, 0:halo], gops[2, :, :, halo:])
-    bi = widen(bic, bil, bir, gops[3, :, :, 0:halo], gops[3, :, :, halo:])
-    xw = widen(xc, xl, xr, gvec[0, :, 0:halo], gvec[0, :, halo:])
-    bw = widen(bc, bl, br, gvec[1, :, 0:halo], gvec[1, :, halo:])
-
-    n_total = ni * tile
-    gcol = jax.lax.broadcasted_iota(jnp.int32, (bs, w), 1) + i * tile - halo
-    valid = (gcol >= -halo) & (gcol < n_total + halo)
-    xw = jnp.where(valid, xw, 0.0)
-
-    def mat(m, v):
-        acc = m[:, 0, :] * v[0:1, :]
-        for j in range(1, bs):
-            acc = acc + m[:, j, :] * v[j : j + 1, :]
-        return acc
-
-    def residual(xw):
-        xm = pltpu.roll(xw, jnp.int32(1), axis=1)
-        xm = jnp.where(gcol - 1 >= -halo, xm, 0.0)
-        xp = pltpu.roll(xw, jnp.int32(w - 1), axis=1)
-        xp = jnp.where(gcol + 1 < n_total + halo, xp, 0.0)
-        return bw - mat(ad, xw) - mat(al, xm) - mat(au, xp)
+    (ad, al, au, bi), xw, bw = _seg_ops(
+        gops, gvec,
+        [(adc, adl, adr), (alc, all_, alr), (auc, aul, aur), (bic, bil, bir)],
+        xc, xl, xr, bc, bl, br, i, ni, halo,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (bs, w), 1)
 
     for _ in range(n_sweeps):
-        r = residual(xw)
-        xw = xw + alpha * mat(bi, r)
-        xw = jnp.where(valid, xw, 0.0)
+        rL, rC, rR = _seg_residual(ad, al, au, xw, bw, col, bs, halo, tile, w)
+        xw = jnp.concatenate(
+            [
+                xw[:, 0:halo] + alpha * _mat(bi[0], rL, bs),
+                xw[:, halo : halo + tile] + alpha * _mat(bi[1], rC, bs),
+                xw[:, halo + tile :] + alpha * _mat(bi[2], rR, bs),
+            ],
+            axis=-1,
+        )
 
     outs[0][...] = xw[:, halo : halo + tile]
     if emit_residual:
@@ -221,7 +261,8 @@ def _wide_sweep_kernel(
         # separate full-HBM-pass matvec of the V-cycle's restrict step.
         # After n_sweeps the widened iterate is valid on [n_sweeps, w - n_sweeps),
         # so the center residual (needing +-1 columns) is exact for halo > n_sweeps.
-        outs[1][...] = residual(xw)[:, halo : halo + tile]
+        _, rC, _ = _seg_residual(ad, al, au, xw, bw, col, bs, halo, tile, w)
+        outs[1][...] = rC
 
 
 def _halo_specs(bs: int, tile: int, halo: int):
@@ -268,45 +309,26 @@ def _wide_cheb_kernel(
     ni = pl.num_programs(0)
     w = tile + 2 * halo
 
-    def widen(c, l, r, gl, gr):
-        lft = jnp.where(i == 0, gl, l[...])
-        rgt = jnp.where(i == ni - 1, gr, r[...])
-        return jnp.concatenate([lft, c[...], rgt], axis=-1)
-
-    ad = widen(adc, adl, adr, gops[0, :, :, 0:halo], gops[0, :, :, halo:])
-    al = widen(alc, all_, alr, gops[1, :, :, 0:halo], gops[1, :, :, halo:])
-    au = widen(auc, aul, aur, gops[2, :, :, 0:halo], gops[2, :, :, halo:])
-    bi = widen(bic, bil, bir, gops[3, :, :, 0:halo], gops[3, :, :, halo:])
-    xw = widen(xc, xl, xr, gvec[0, :, 0:halo], gvec[0, :, halo:])
-    bw = widen(bc, bl, br, gvec[1, :, 0:halo], gvec[1, :, halo:])
-
-    n_total = ni * tile
-    gcol = jax.lax.broadcasted_iota(jnp.int32, (bs, w), 1) + i * tile - halo
-    valid = (gcol >= -halo) & (gcol < n_total + halo)
-    xw = jnp.where(valid, xw, 0.0)
-
-    def mat(m, v):
-        acc = m[:, 0, :] * v[0:1, :]
-        for j in range(1, bs):
-            acc = acc + m[:, j, :] * v[j : j + 1, :]
-        return acc
-
-    def residual(xw):
-        xm = pltpu.roll(xw, jnp.int32(1), axis=1)
-        xm = jnp.where(gcol - 1 >= -halo, xm, 0.0)
-        xp = pltpu.roll(xw, jnp.int32(w - 1), axis=1)
-        xp = jnp.where(gcol + 1 < n_total + halo, xp, 0.0)
-        return bw - mat(ad, xw) - mat(al, xm) - mat(au, xp)
+    (ad, al, au, bi), xw, bw = _seg_ops(
+        gops, gvec,
+        [(adc, adl, adr), (alc, all_, alr), (auc, aul, aur), (bic, bil, bir)],
+        xc, xl, xr, bc, bl, br, i, ni, halo,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (bs, w), 1)
 
     d = jnp.zeros_like(xw)
     for s in range(degree):
-        z = mat(bi, residual(xw))
+        rL, rC, rR = _seg_residual(ad, al, au, xw, bw, col, bs, halo, tile, w)
+        z = jnp.concatenate(
+            [_mat(bi[0], rL, bs), _mat(bi[1], rC, bs), _mat(bi[2], rR, bs)], axis=-1
+        )
         d = coef[s, 0] * d + coef[s, 1] * z
-        xw = jnp.where(valid, xw + d, 0.0)
+        xw = xw + d
 
     outs[0][...] = xw[:, halo : halo + tile]
     if emit_residual:
-        outs[1][...] = residual(xw)[:, halo : halo + tile]
+        _, rC, _ = _seg_residual(ad, al, au, xw, bw, col, bs, halo, tile, w)
+        outs[1][...] = rC
 
 
 def chebyshev_coefficients(lam_lo, lam_hi, degree: int):

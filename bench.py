@@ -90,6 +90,49 @@ def _time_chain(step, x, iters):
     return (time.time() - t0) / iters
 
 
+def _sweep_pass_bytes(n_el: int, bs: int, dtype=jnp.float32, residual=False) -> int:
+    """HBM bytes one fused smoother pass must move: 4 operator streams
+    (A diag/lower/upper + Binv), x and b in, x (+ r) out."""
+    bpe = jnp.dtype(dtype).itemsize
+    return (4 * bs * bs + 2 * bs + bs * (2 if residual else 1)) * n_el * bpe
+
+
+def bench_stream_bw(a, s, b, iters: int = 50) -> float:
+    """Achievable HBM bandwidth for the sweep's exact operand set: a Pallas
+    kernel that streams all four operator tiles + x + b and does one add per
+    element — the memory-bound speed-of-light reference for the sweeps."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from agglomerationmultigrid1d_tpu.ops.pallas.block_kernels import (
+        _pick_tile,
+        _x32_scope,
+    )
+
+    bs, _, n = a.diag.shape
+    tile = _pick_tile(bs, n, b.dtype)
+
+    def _stream_kernel(ad, al, au, bi, xx, bb, o):
+        o[...] = ad[:, 0, :] + al[:, 0, :] + au[:, 0, :] + bi[:, 0, :] + xx[...] + bb[...]
+
+    m3 = pl.BlockSpec((bs, bs, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    v1 = pl.BlockSpec((bs, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def g(ad, al, au, bi, xx, bb):
+        with _x32_scope():
+            return pl.pallas_call(
+                _stream_kernel,
+                grid=(n // tile,),
+                in_specs=[m3, m3, m3, m3, v1, v1],
+                out_specs=v1,
+                out_shape=jax.ShapeDtypeStruct((bs, n), b.dtype),
+            )(ad, al, au, bi, xx, bb)
+
+    x = g(a.diag, a.lower, a.upper, s.inv, b, b)
+    dt = _time_chain(lambda y: g(a.diag, a.lower, a.upper, s.inv, y, b), x, iters)
+    return _sweep_pass_bytes(n, bs, b.dtype) / dt
+
+
 def bench_sweeps(n_el: int, p: int = 3, iters: int = 100):
     nnz = sweep_nnz(n_el, p + 1)
     out = {}
@@ -98,18 +141,49 @@ def bench_sweeps(n_el: int, p: int = 3, iters: int = 100):
     from agglomerationmultigrid1d_tpu.ops.pallas import pallas_block_jacobi_multisweep
 
     a, s, b = build_smoother_problem(n_el, p, jnp.float32)
+    pass_bytes = _sweep_pass_bytes(n_el, p + 1)
+
+    stream_bw = bench_stream_bw(a, s, b)
+    out["stream_bw_gbps"] = stream_bw / 1e9
+    log(f"stream (speed-of-light for this operand set): {stream_bw/1e9:.0f} GB/s")
+
     stepm = lambda x: pallas_block_jacobi_multisweep(a, s.inv, x, b, n_sweeps=3)  # noqa: E731
     x = stepm(jnp.zeros_like(b))
-    dt = _time_chain(stepm, x, iters) / 3.0
+    dt3 = _time_chain(stepm, x, iters)
+    dt = dt3 / 3.0
     out["pallas_multisweep_f32"] = nnz / dt
-    log(f"pallas multisweep(3) f32: {dt*1e3:.3f} ms/sweep -> {nnz/dt/1e9:.1f} GNNZ/s")
+    out["multisweep_gbps"] = pass_bytes / dt3 / 1e9
+    out["multisweep_pct_of_stream"] = 100.0 * pass_bytes / dt3 / stream_bw
+    log(
+        f"pallas multisweep(3) f32: {dt*1e3:.3f} ms/sweep -> {nnz/dt/1e9:.1f} GNNZ/s "
+        f"({pass_bytes/dt3/1e9:.0f} GB/s pass = {out['multisweep_pct_of_stream']:.0f}% of stream)"
+    )
 
     # single-sweep pallas f32
     step = lambda x: pallas_block_jacobi_sweep(a, s.inv, x, b)  # noqa: E731
     x = step(jnp.zeros_like(b))
     dt = _time_chain(step, x, iters)
     out["pallas_f32"] = nnz / dt
-    log(f"pallas f32 sweep: {dt*1e3:.3f} ms -> {nnz/dt/1e9:.1f} GNNZ/s")
+    out["single_sweep_gbps"] = pass_bytes / dt / 1e9
+    log(
+        f"pallas f32 sweep: {dt*1e3:.3f} ms -> {nnz/dt/1e9:.1f} GNNZ/s "
+        f"({pass_bytes/dt/1e9:.0f} GB/s = {100.0*pass_bytes/dt/stream_bw:.0f}% of stream)"
+    )
+
+    # the fused multisweep INSIDE shard_map (1-device mesh on the single chip):
+    # the distributed smoother path must show no cliff vs the plain kernel
+    from agglomerationmultigrid1d_tpu.parallel import make_solver_mesh, sharded_multisweep
+
+    mesh = make_solver_mesh(1)
+    steps = jax.jit(
+        lambda aa, ii, x, bb: sharded_multisweep(
+            mesh, "x", aa, ii, x, bb, n_sweeps=3, alpha=2.0 / 3.0, use_pallas=True
+        )
+    )
+    x = steps(a, s.inv, jnp.zeros_like(b), b)
+    dt = _time_chain(lambda y: steps(a, s.inv, y, b), x, iters) / 3.0
+    out["sharded_multisweep_f32"] = nnz / dt
+    log(f"shard_map multisweep(3) f32: {dt*1e3:.3f} ms/sweep -> {nnz/dt/1e9:.1f} GNNZ/s")
 
     # XLA f32
     stepx = jax.jit(xla_sweep)
@@ -241,6 +315,11 @@ def main():
         "baseline": "same sweep, vectorized host NumPy f64 (serial-CPU stand-in; reference publishes no numbers)",
         "problem_dof": n_el * 4,
         "pallas_single_sweep_gnnz_s": round(sweeps["pallas_f32"] / 1e9, 2),
+        "sharded_multisweep_gnnz_s": round(sweeps["sharded_multisweep_f32"] / 1e9, 2),
+        "stream_bw_gbps": round(sweeps["stream_bw_gbps"], 1),
+        "multisweep_gbps": round(sweeps["multisweep_gbps"], 1),
+        "multisweep_pct_of_stream_bw": round(sweeps["multisweep_pct_of_stream"], 1),
+        "single_sweep_gbps": round(sweeps["single_sweep_gbps"], 1),
         "xla_f32_gnnz_s": round(sweeps["xla_f32"] / 1e9, 2),
         "xla_f64_gnnz_s": round(sweeps["xla_f64"] / 1e9, 3),
         "mixed_solve_to_1e-10_s": mx_time if mx_time is None else round(mx_time, 3),
