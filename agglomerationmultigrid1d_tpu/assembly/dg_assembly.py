@@ -56,13 +56,31 @@ def dg_flux_operators(
         g_diag = g_diag + k_vol[:, :, None]
         d_diag = d_diag + k_vol[:, :, None]
 
-    # interior vertices: u-hat from the left element (its right-endpoint slot),
-    # q-hat from the right element (its left-endpoint slot)
-    if n > 1:
+    # interior vertices, default rule: u-hat from the left element (its
+    # right-endpoint slot), q-hat from the right element (its left-endpoint
+    # slot).  Sign convention per vertex: left-element row -1, right-element
+    # row +1 (outgoing/incoming trace, ``dg_mesh.jl:230-247``).
+    g_upper = zero
+    d_lower = zero
+    if n > 1 and dg.u_hat_left is None:
         g_lower = g_lower.at[0, s1, 1:].add(1.0)
         g_diag = g_diag.at[s1, s1, :-1].add(-1.0)
         d_diag = d_diag.at[0, 0, 1:].add(1.0)
         d_upper = d_upper.at[s1, 0, :-1].add(-1.0)
+    elif n > 1:
+        # explicit switch (``dg_mesh.jl:114-138``): at flipped vertices u-hat
+        # comes from the RIGHT element's left-endpoint trace and q-hat from the
+        # LEFT element's right-endpoint trace (mirrored couplings)
+        sw = jnp.asarray(np.asarray(dg.u_hat_left, dtype=np.float64), dtype=dtype)
+        fl = 1.0 - sw
+        g_lower = g_lower.at[0, s1, 1:].add(sw)
+        g_diag = g_diag.at[s1, s1, :-1].add(-sw)
+        g_diag = g_diag.at[0, 0, 1:].add(fl)
+        g_upper = g_upper.at[s1, 0, :-1].add(-fl)
+        d_diag = d_diag.at[0, 0, 1:].add(sw)
+        d_upper = d_upper.at[s1, 0, :-1].add(-sw)
+        d_diag = d_diag.at[s1, s1, :-1].add(-fl)
+        d_lower = d_lower.at[0, s1, 1:].add(fl)
 
     # domain boundary vertices
     if bc.dir_left:
@@ -76,8 +94,8 @@ def dg_flux_operators(
     elif bc.neu_right:
         g_diag = g_diag.at[s1, s1, -1].add(-1.0)
 
-    g = BlockTridiag(lower=g_lower, diag=g_diag, upper=zero)
-    d = BlockTridiag(lower=zero, diag=d_diag, upper=d_upper)
+    g = BlockTridiag(lower=g_lower, diag=g_diag, upper=g_upper)
+    d = BlockTridiag(lower=d_lower, diag=d_diag, upper=d_upper)
     c = BlockTridiag(lower=zero, diag=c_diag, upper=zero)
     return g, d, c
 

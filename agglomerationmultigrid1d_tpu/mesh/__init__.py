@@ -3,6 +3,7 @@ from .topology import (
     NEUMANN,
     BoundaryCondition,
     Mesh1D,
+    create_graded_mesh,
     create_uniform_mesh,
 )
 from .cg_mesh import CgMesh, make_cg_mesh
@@ -15,6 +16,7 @@ __all__ = [
     "BoundaryCondition",
     "Mesh1D",
     "create_uniform_mesh",
+    "create_graded_mesh",
     "CgMesh",
     "make_cg_mesh",
     "DgMesh",

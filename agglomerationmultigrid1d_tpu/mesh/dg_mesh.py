@@ -31,6 +31,11 @@ class DgMesh:
     ref: "object"  # ReferenceElement
     mass: BlockDiag  # (p+1, p+1, n): J_k * reference mass per element
     mass_inv: BlockDiag
+    # per-interior-vertex switch (n_el - 1,): True = u-hat from the LEFT
+    # element / q-hat from the right (the reference's resolved default rule);
+    # False flips the sides at that vertex.  None = all-default (fast path).
+    # Mirrors the explicit-switch constructor ``dg_mesh.jl:114-138``.
+    u_hat_left: np.ndarray | None = None
 
     @property
     def n_elements(self) -> int:
@@ -51,9 +56,24 @@ class DgMesh:
         )
 
 
-def make_dg_mesh(mesh: Mesh1D, p: int) -> DgMesh:
+def make_dg_mesh(mesh: Mesh1D, p: int, switch: np.ndarray | None = None) -> DgMesh:
+    """``switch`` (optional, (n_el - 1,) bool): per interior vertex, True takes
+    u-hat from the left element and q-hat from the right (the reference's
+    resolved default); False flips the sides — the explicit-switch constructor
+    ``dg_mesh.jl:114-138``.  Note a *mixed* switch makes the Schur stiffness
+    ``C - D M^-1 G`` block-pentadiagonal (exactly as the reference's generic
+    sparse A would be); uniform choices stay block-tridiagonal."""
     ref = make_reference_element(p)
     jac = jnp.asarray(mesh.jacobians)
     blocks = jnp.asarray(ref.mass)[:, :, None] * jac[None, None, :]
     mass = BlockDiag(blocks)
-    return DgMesh(p=p, mesh=mesh, ref=ref, mass=mass, mass_inv=bd_inverse(mass))
+    if switch is not None:
+        switch = np.asarray(switch, dtype=bool)
+        if switch.shape != (mesh.n_elements - 1,):
+            raise ValueError("switch must have one entry per interior vertex")
+        if switch.all():
+            switch = None  # identical to the default rule
+    return DgMesh(
+        p=p, mesh=mesh, ref=ref, mass=mass, mass_inv=bd_inverse(mass),
+        u_hat_left=switch,
+    )

@@ -53,6 +53,21 @@ def create_uniform_mesh(n: int, xin: float, xout: float) -> Mesh1D:
     return Mesh1D(vertex_x=x)
 
 
+def create_graded_mesh(n: int, xin: float, xout: float, ratio: float = 2.0) -> Mesh1D:
+    """Geometrically stretched n-element mesh on [xin, xout]: element sizes grow
+    by ``ratio**(1/(n-1))`` each, so the last element is ``ratio`` times the
+    first.  The reference's ``Mesh`` carries arbitrary vertex positions
+    (``src/meshes.jl:11-17``); this is the standard non-uniform fixture."""
+    if n < 2 or ratio <= 0:
+        raise ValueError("need n >= 2 and ratio > 0")
+    q = ratio ** (1.0 / (n - 1))
+    h = q ** np.arange(n, dtype=np.float64)
+    x = np.concatenate([[0.0], np.cumsum(h)])
+    x = xin + (xout - xin) * (x / x[-1])
+    x[0], x[-1] = xin, xout
+    return Mesh1D(vertex_x=x)
+
+
 @dataclasses.dataclass(frozen=True)
 class BoundaryCondition:
     """Dirichlet/Neumann data at the two domain ends.
