@@ -23,47 +23,60 @@ from ..ops.block_tridiag import BlockTridiag
 def agg_flux_operators(
     agg: AggMesh, bc: BoundaryCondition, c_dir: float
 ) -> tuple[BlockTridiag, BlockTridiag, BlockTridiag]:
-    """(G, D, C) over agglomerates (cf. ``agglomerated_dg_mesh.jl:641-873``)."""
+    """(G, D, C) over agglomerates (cf. ``agglomerated_dg_mesh.jl:641-873``).
+
+    Assembled in host NumPy (one O(m) pass, no eager-JAX scatters) and
+    converted once.  Lite meshes (no quadrature tables) take the closed form
+    for the volume moment: ``integral of phi_j over the agglomerate`` is
+    ``(h, 0)`` for the modal basis {1, 2(x-xc)/h} on an interval of width h —
+    identical to the per-base-element quadrature sums."""
     m = agg.n_agg
     bs = agg.block_size
-    jacs = agg.base_jacobians()  # (m, r)
 
     # volume:  temp[i, j] = deriv_i * integral of phi_j over the agglomerate
-    q = np.einsum("cs,l,cslj->cj", jacs, agg.quad_weights, agg.basis_q)  # (m, bs)
+    if agg.has_tables:
+        q = np.einsum(
+            "cs,l,cslj->cj", agg.base_jacobians(), agg.quad_weights, agg.basis_q
+        )  # (m, bs)
+    else:
+        q = np.zeros((m, bs))
+        q[:, 0] = agg.boxes[:, 1] - agg.boxes[:, 0]
     vol = np.einsum("ci,cj->ijc", agg.deriv_vals, q)  # (bs, bs, m)
 
-    bl = jnp.asarray(agg.bd_left)  # (m, bs)
-    br = jnp.asarray(agg.bd_right)
+    bl = agg.bd_left  # (m, bs)
+    br = agg.bd_right
 
-    g_diag = jnp.asarray(vol)
-    d_diag = jnp.asarray(vol)
-    zero = jnp.zeros((bs, bs, m), dtype=g_diag.dtype)
-    g_lower, d_upper, c_diag = zero, zero, zero
+    g_diag = vol.copy()
+    d_diag = vol.copy()
+    g_lower = np.zeros((bs, bs, m))
+    d_upper = np.zeros((bs, bs, m))
+    c_diag = np.zeros((bs, bs, m))
 
     # interior vertices between agglomerates c (left) and c+1 (right):
     # u-hat = left agglomerate's right-boundary trace, q-hat = right's left trace
     if m > 1:
-        g_lower = g_lower.at[:, :, 1:].add(jnp.einsum("ci,cj->ijc", bl[1:], br[:-1]))
-        g_diag = g_diag.at[:, :, :-1].add(-jnp.einsum("ci,cj->ijc", br[:-1], br[:-1]))
-        d_diag = d_diag.at[:, :, 1:].add(jnp.einsum("ci,cj->ijc", bl[1:], bl[1:]))
-        d_upper = d_upper.at[:, :, :-1].add(-jnp.einsum("ci,cj->ijc", br[:-1], bl[1:]))
+        g_lower[:, :, 1:] += np.einsum("ci,cj->ijc", bl[1:], br[:-1])
+        g_diag[:, :, :-1] -= np.einsum("ci,cj->ijc", br[:-1], br[:-1])
+        d_diag[:, :, 1:] += np.einsum("ci,cj->ijc", bl[1:], bl[1:])
+        d_upper[:, :, :-1] -= np.einsum("ci,cj->ijc", br[:-1], bl[1:])
 
-    bl0 = jnp.outer(bl[0], bl[0])
-    brn = jnp.outer(br[-1], br[-1])
+    bl0 = np.outer(bl[0], bl[0])
+    brn = np.outer(br[-1], br[-1])
     if bc.dir_left:
-        d_diag = d_diag.at[:, :, 0].add(bl0)
-        c_diag = c_diag.at[:, :, 0].add(c_dir * bl0)
+        d_diag[:, :, 0] += bl0
+        c_diag[:, :, 0] += c_dir * bl0
     elif bc.neu_left:
-        g_diag = g_diag.at[:, :, 0].add(bl0)
+        g_diag[:, :, 0] += bl0
     if bc.dir_right:
-        d_diag = d_diag.at[:, :, -1].add(-brn)
-        c_diag = c_diag.at[:, :, -1].add(c_dir * brn)
+        d_diag[:, :, -1] -= brn
+        c_diag[:, :, -1] += c_dir * brn
     elif bc.neu_right:
-        g_diag = g_diag.at[:, :, -1].add(-brn)
+        g_diag[:, :, -1] -= brn
 
-    g = BlockTridiag(lower=g_lower, diag=g_diag, upper=zero)
-    d = BlockTridiag(lower=zero, diag=d_diag, upper=d_upper)
-    c = BlockTridiag(lower=zero, diag=c_diag, upper=zero)
+    zero = jnp.zeros((bs, bs, m))
+    g = BlockTridiag(lower=jnp.asarray(g_lower), diag=jnp.asarray(g_diag), upper=zero)
+    d = BlockTridiag(lower=zero, diag=jnp.asarray(d_diag), upper=jnp.asarray(d_upper))
+    c = BlockTridiag(lower=zero, diag=jnp.asarray(c_diag), upper=zero)
     return g, d, c
 
 

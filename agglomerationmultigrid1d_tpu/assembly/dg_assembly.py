@@ -43,60 +43,69 @@ def dg_flux_operators(
     p = dg.p
     bs = p + 1
     n = dg.n_elements
-    dtype = dg.mass.blocks.dtype
     s1 = 1 if p >= 1 else 0  # slot of the right endpoint value
 
-    zero = jnp.zeros((bs, bs, n), dtype=dtype)
-    g_lower, g_diag = zero, zero
-    d_diag, d_upper = zero, zero
-    c_diag = zero
+    # assembled in host NumPy (one pass each, no eager-JAX scatter copies on
+    # the O(n)-sized diagonals), converted to device arrays once at the end
+    g_lower = np.zeros((bs, bs, n))
+    g_diag = np.zeros((bs, bs, n))
+    g_upper = np.zeros((bs, bs, n))
+    d_lower = np.zeros((bs, bs, n))
+    d_diag = np.zeros((bs, bs, n))
+    d_upper = np.zeros((bs, bs, n))
+    c_diag = np.zeros((bs, bs, n))
 
     if p >= 1:
-        k_vol = jnp.asarray(_volume_ref(dg), dtype=dtype)
-        g_diag = g_diag + k_vol[:, :, None]
-        d_diag = d_diag + k_vol[:, :, None]
+        k_vol = _volume_ref(dg)
+        g_diag += k_vol[:, :, None]
+        d_diag += k_vol[:, :, None]
 
     # interior vertices, default rule: u-hat from the left element (its
     # right-endpoint slot), q-hat from the right element (its left-endpoint
     # slot).  Sign convention per vertex: left-element row -1, right-element
     # row +1 (outgoing/incoming trace, ``dg_mesh.jl:230-247``).
-    g_upper = zero
-    d_lower = zero
     if n > 1 and dg.u_hat_left is None:
-        g_lower = g_lower.at[0, s1, 1:].add(1.0)
-        g_diag = g_diag.at[s1, s1, :-1].add(-1.0)
-        d_diag = d_diag.at[0, 0, 1:].add(1.0)
-        d_upper = d_upper.at[s1, 0, :-1].add(-1.0)
+        g_lower[0, s1, 1:] += 1.0
+        g_diag[s1, s1, :-1] += -1.0
+        d_diag[0, 0, 1:] += 1.0
+        d_upper[s1, 0, :-1] += -1.0
     elif n > 1:
         # explicit switch (``dg_mesh.jl:114-138``): at flipped vertices u-hat
         # comes from the RIGHT element's left-endpoint trace and q-hat from the
         # LEFT element's right-endpoint trace (mirrored couplings)
-        sw = jnp.asarray(np.asarray(dg.u_hat_left, dtype=np.float64), dtype=dtype)
+        sw = np.asarray(dg.u_hat_left, dtype=np.float64)
         fl = 1.0 - sw
-        g_lower = g_lower.at[0, s1, 1:].add(sw)
-        g_diag = g_diag.at[s1, s1, :-1].add(-sw)
-        g_diag = g_diag.at[0, 0, 1:].add(fl)
-        g_upper = g_upper.at[s1, 0, :-1].add(-fl)
-        d_diag = d_diag.at[0, 0, 1:].add(sw)
-        d_upper = d_upper.at[s1, 0, :-1].add(-sw)
-        d_diag = d_diag.at[s1, s1, :-1].add(-fl)
-        d_lower = d_lower.at[0, s1, 1:].add(fl)
+        g_lower[0, s1, 1:] += sw
+        g_diag[s1, s1, :-1] += -sw
+        g_diag[0, 0, 1:] += fl
+        g_upper[s1, 0, :-1] += -fl
+        d_diag[0, 0, 1:] += sw
+        d_upper[s1, 0, :-1] += -sw
+        d_diag[s1, s1, :-1] += -fl
+        d_lower[0, s1, 1:] += fl
 
     # domain boundary vertices
     if bc.dir_left:
-        d_diag = d_diag.at[0, 0, 0].add(1.0)
-        c_diag = c_diag.at[0, 0, 0].add(c_dir)
+        d_diag[0, 0, 0] += 1.0
+        c_diag[0, 0, 0] += c_dir
     elif bc.neu_left:
-        g_diag = g_diag.at[0, 0, 0].add(1.0)
+        g_diag[0, 0, 0] += 1.0
     if bc.dir_right:
-        d_diag = d_diag.at[s1, s1, -1].add(-1.0)
-        c_diag = c_diag.at[s1, s1, -1].add(c_dir)
+        d_diag[s1, s1, -1] += -1.0
+        c_diag[s1, s1, -1] += c_dir
     elif bc.neu_right:
-        g_diag = g_diag.at[s1, s1, -1].add(-1.0)
+        g_diag[s1, s1, -1] += -1.0
 
-    g = BlockTridiag(lower=g_lower, diag=g_diag, upper=g_upper)
-    d = BlockTridiag(lower=d_lower, diag=d_diag, upper=d_upper)
-    c = BlockTridiag(lower=zero, diag=c_diag, upper=zero)
+    zero = jnp.zeros((bs, bs, n))
+    g = BlockTridiag(
+        lower=jnp.asarray(g_lower), diag=jnp.asarray(g_diag),
+        upper=zero if dg.u_hat_left is None else jnp.asarray(g_upper),
+    )
+    d = BlockTridiag(
+        lower=zero if dg.u_hat_left is None else jnp.asarray(d_lower),
+        diag=jnp.asarray(d_diag), upper=jnp.asarray(d_upper),
+    )
+    c = BlockTridiag(lower=zero, diag=jnp.asarray(c_diag), upper=zero)
     return g, d, c
 
 

@@ -71,7 +71,14 @@ class AggMesh:
 
     @property
     def r_max(self) -> int:
-        return self.basis_q.shape[1]
+        return int(self.sizes.max())
+
+    @property
+    def has_tables(self) -> bool:
+        """Whether the per-base-element quadrature tables were built (see
+        ``make_agg_mesh(tables=...)``); load vectors and quadrature-based
+        integrals require them."""
+        return self.basis_q is not None
 
     @property
     def uniform_r(self) -> int | None:
@@ -102,6 +109,11 @@ class AggMesh:
     def base_jacobians(self) -> np.ndarray:
         """(m, r_max) jacobians of the base elements of each agglomerate,
         zero-padded past ``sizes[c]``."""
+        if self.jacs is None:
+            raise ValueError(
+                "this AggMesh was built with tables=False (hierarchy lite mode); "
+                "rebuild with tables=True for quadrature-table access"
+            )
         return self.jacs
 
 
@@ -142,6 +154,7 @@ def make_agg_mesh(
     partition=None,
     r_sub: int | None = None,
     sub_sizes: np.ndarray | None = None,
+    tables: bool = True,
 ) -> AggMesh:
     """Build an agglomeration level directly from the base mesh geometry.
 
@@ -156,6 +169,15 @@ def make_agg_mesh(
     The reference hierarchy re-uses whichever CG/DG mesh for geometry — all its
     CG meshes share element geometry, so taking the topological mesh directly
     resolves SURVEY §7 quirk (d) explicitly.
+
+    ``tables=False`` builds a *lite* mesh: the O(n_base * n_q) per-base-element
+    tables (``basis_q``, ``x_quad``, ``jacs``) are skipped and the mass is taken
+    in closed form — exact, because the modal basis {1, 2(x-xc)/h} on an
+    interval integrates analytically (mass = diag(h, h/3), and the base
+    elements tile the agglomerate exactly).  Hierarchy construction uses lite
+    meshes (every derived quantity is closed-form, see ``assembly.agg_assembly``
+    and ``transfer.interpolation``); keep the default for direct discretization
+    use (load vectors / quadrature-based L2 errors need the tables).
     """
     n_base = mesh.n_elements
     if (r_base is None) == (partition is None):
@@ -181,28 +203,40 @@ def make_agg_mesh(
 
     vx = mesh.vertex_x
     boxes = np.stack([vx[offsets], vx[offsets + sizes]], axis=1)
+    h_agg = boxes[:, 1] - boxes[:, 0]
 
-    # padded (m, r_max) gather of the base elements; zero jacobian in padding
-    # makes every quadrature contribution of the pad rows exactly zero
-    j_idx = offsets[:, None] + np.arange(r_max)[None, :]
-    valid = np.arange(r_max)[None, :] < sizes[:, None]
-    j_idx = np.minimum(j_idx, n_base - 1)
-    centers = np.where(valid, mesh.centers[j_idx], boxes[:, :1] * 0.5 + boxes[:, 1:] * 0.5)
-    jacs = np.where(valid, mesh.jacobians[j_idx], 0.0)
-    x_quad = centers[:, :, None] + jacs[:, :, None] * qx[None, None, :]
+    if tables:
+        # padded (m, r_max) gather of the base elements; zero jacobian in the
+        # padding makes every quadrature contribution of the pad rows zero
+        j_idx = offsets[:, None] + np.arange(r_max)[None, :]
+        valid = np.arange(r_max)[None, :] < sizes[:, None]
+        j_idx = np.minimum(j_idx, n_base - 1)
+        centers = np.where(
+            valid, mesh.centers[j_idx], boxes[:, :1] * 0.5 + boxes[:, 1:] * 0.5
+        )
+        jacs = np.where(valid, mesh.jacobians[j_idx], 0.0)
+        x_quad = centers[:, :, None] + jacs[:, :, None] * qx[None, None, :]
+        basis_q = modal_basis_vals_batched(p, boxes, x_quad)
+        # mass blocks: sum over base elements of J_b * sum_l w_l phi_i phi_j
+        mass_nij = np.einsum("cs,l,csli,cslj->cij", jacs, qw, basis_q, basis_q)
+    else:
+        jacs = x_quad = basis_q = None
+        # closed form on the interval: {1, xi} with xi = 2(x - xc)/h is
+        # mass-orthogonal, diag(h, h/3); identical to the quadrature sums
+        mass_nij = np.zeros((m, p + 1, p + 1))
+        mass_nij[:, 0, 0] = h_agg
+        if p == 1:
+            mass_nij[:, 1, 1] = h_agg / 3.0
 
-    basis_q = modal_basis_vals_batched(p, boxes, x_quad)
-    bd = modal_basis_vals_batched(p, boxes, boxes)  # (m, 2, p+1)
-    bd_left, bd_right = bd[:, 0, :], bd[:, 1, :]
+    # boundary traces / derivatives of {1, xi}: constants in the box frame
+    bd_left = np.ones((m, p + 1))
+    bd_right = np.ones((m, p + 1))
     if p == 0:
         deriv_vals = np.zeros((m, 1))
     else:
-        deriv_vals = np.stack(
-            [np.zeros(m), 2.0 / (boxes[:, 1] - boxes[:, 0])], axis=1
-        )
-
-    # mass blocks: sum over base elements of J_b * sum_l w_l phi_i phi_j
-    mass_nij = np.einsum("cs,l,csli,cslj->cij", jacs, qw, basis_q, basis_q)
+        bd_left[:, 1] = -1.0
+        bd_right[:, 1] = 1.0
+        deriv_vals = np.stack([np.zeros(m), 2.0 / h_agg], axis=1)
     mass = BlockDiag(jnp.moveaxis(jnp.asarray(mass_nij), 0, -1))
 
     return AggMesh(
@@ -227,13 +261,17 @@ def make_agg_mesh(
     )
 
 
-def coarsen_agg_mesh(fine: AggMesh, r_sub: int = 2, *, partition=None) -> AggMesh:
+def coarsen_agg_mesh(
+    fine: AggMesh, r_sub: int = 2, *, partition=None, tables: bool | None = None
+) -> AggMesh:
     """Next agglomeration level merging finer agglomerates (the reference's
     recursive ``AgglomeratedDgMeshN`` from sub-agglomerate lists,
     ``agglomerated_dg_mesh.jl:501-559``).
 
     ``r_sub`` merges a uniform count of consecutive fine agglomerates;
     ``partition`` gives explicit group sizes (in units of fine agglomerates).
+    ``tables`` defaults to the fine level's choice (hierarchy levels >= 2 never
+    need the per-base-element tables — everything about them is closed-form).
     """
     if partition is not None:
         sub = _normalize_partition(fine.n_agg, partition)
@@ -249,4 +287,8 @@ def coarsen_agg_mesh(fine: AggMesh, r_sub: int = 2, *, partition=None) -> AggMes
     starts = ends - sub
     cum = np.concatenate([[0], np.cumsum(fine.sizes)])
     base_sizes = cum[ends] - cum[starts]
-    return make_agg_mesh(fine.p, fine.mesh, partition=base_sizes, sub_sizes=sub)
+    if tables is None:
+        tables = fine.has_tables
+    return make_agg_mesh(
+        fine.p, fine.mesh, partition=base_sizes, sub_sizes=sub, tables=tables
+    )

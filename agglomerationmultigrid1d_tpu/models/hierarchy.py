@@ -234,6 +234,29 @@ def build_dg_hierarchy(
     )
 
 
+def strip_hierarchy(h: Hierarchy) -> Hierarchy:
+    """Drop construction-only operator storage (G, D, C, level masses) from
+    every block level, keeping just what the solve path reads: ``a``, the
+    smoother, transfers and the coarse factorization.
+
+    The reference keeps all per-level operators alive for the lifetime of the
+    ``MeshHierarchy`` (``mesh_heirarchy.jl:17-28``); at 10^8 DoF they are ~3x
+    the solve-path footprint, so for large problems strip before shipping to
+    the accelerator."""
+    def _strip(lv):
+        if isinstance(lv, BlockLevel):
+            e = jnp.zeros((0, 0, 0), dtype=lv.a.diag.dtype)
+            empty = BlockTridiag(e, e, e)
+            return lv._replace(g=empty, d=empty, c=empty, mass_inv=e)
+        return lv
+
+    return Hierarchy(
+        levels=tuple(_strip(lv) for lv in h.levels),
+        transfers=h.transfers,
+        coarse=h.coarse,
+    )
+
+
 def chebyshev_hierarchy(
     h: Hierarchy,
     *,

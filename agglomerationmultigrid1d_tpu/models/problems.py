@@ -48,6 +48,7 @@ def build_problem(
     func: Callable | None = None,
     bc: BoundaryCondition | None = None,
     mesh=None,
+    to_device: bool = True,
 ) -> Problem:
     """Build any of the reference's hierarchy configurations from a
     :class:`~..utils.config.HierarchySpec` (the config-driven entry point; the
@@ -66,13 +67,18 @@ def build_problem(
     meshes += [make_dg_mesh(mesh, p) for p in spec.dg_orders]
     for i in range(spec.n_agg_levels):
         if i == 0:
+            # hierarchy agg levels never need the O(n_base) quadrature tables
+            # (operators/transfers are closed-form for the interval modal basis)
             n_base, r = mesh.n_elements, spec.first_agg_factor
             if n_base % r:
                 meshes.append(
-                    make_agg_mesh(spec.p_agg, mesh, partition=_near_uniform_partition(n_base, r))
+                    make_agg_mesh(
+                        spec.p_agg, mesh,
+                        partition=_near_uniform_partition(n_base, r), tables=False,
+                    )
                 )
             else:
-                meshes.append(make_agg_mesh(spec.p_agg, mesh, r))
+                meshes.append(make_agg_mesh(spec.p_agg, mesh, r, tables=False))
         else:
             fine = meshes[-1]
             if fine.n_agg % spec.agg_factor:
@@ -96,6 +102,10 @@ def build_problem(
         f, r = dg_flux_rhs(dg, func, bc, spec.c_dir)
         b = f - bt_matvec(d, bd_matvec(dg.mass_inv, r))
         h = build_dg_hierarchy(meshes, a, g, d, c)
+    if not to_device:
+        # leave everything on the host (large-problem flows cast/strip first
+        # and ship only the solve-path arrays; see bench.py's XL solve)
+        return Problem(hierarchy=h, b=b, meshes=meshes, bc=bc)
     return Problem(hierarchy=to_accelerator(h), b=to_accelerator(b), meshes=meshes, bc=bc)
 
 

@@ -121,15 +121,30 @@ def aggdg_aggdg_interpolation(coarse: AggMesh, fine: AggMesh):
     r = coarse.sub_uniform_r
     rf = fine.uniform_r
 
-    # per-FINE-agglomerate cross-mass against the parent coarse basis; the
-    # padded base-element rows carry zero jacobians, so sums are exact
     parent = np.repeat(np.arange(mc), coarse.sub_sizes)
-    bcx = modal_basis_vals_batched(coarse.p, coarse.boxes[parent], fine.x_quad)
-    n_f = np.einsum(
-        "fs,l,fsli,fslm->fim", fine.jacs, fine.quad_weights, fine.basis_q, bcx
-    )  # (m_f, bs, bs)
-    minv = np.asarray(bd_to_dense_blocks(fine.mass_inv))  # (m_f, bs, bs)
-    l_f = np.einsum("fik,fkm->fim", minv, n_f)
+    if fine.has_tables:
+        # per-FINE-agglomerate cross-mass against the parent coarse basis; the
+        # padded base-element rows carry zero jacobians, so sums are exact
+        bcx = modal_basis_vals_batched(coarse.p, coarse.boxes[parent], fine.x_quad)
+        n_f = np.einsum(
+            "fs,l,fsli,fslm->fim", fine.jacs, fine.quad_weights, fine.basis_q, bcx
+        )  # (m_f, bs, bs)
+        minv = np.asarray(bd_to_dense_blocks(fine.mass_inv))  # (m_f, bs, bs)
+        l_f = np.einsum("fik,fkm->fim", minv, n_f)
+    else:
+        # closed form (exact): the coarse modal basis restricted to the fine
+        # interval is  1 -> 1,  xi_c -> 2(cf - cc)/hc + (hf/hc) xi_f,
+        # so the L2 projection IS that affine re-expansion
+        cb, fb = coarse.boxes[parent], fine.boxes
+        hc = cb[:, 1] - cb[:, 0]
+        hf = fb[:, 1] - fb[:, 0]
+        cf = 0.5 * (fb[:, 0] + fb[:, 1])
+        cc = 0.5 * (cb[:, 0] + cb[:, 1])
+        l_f = np.zeros((fine.n_agg, bs, bs))
+        l_f[:, 0, 0] = 1.0
+        if coarse.p == 1:
+            l_f[:, 0, 1] = 2.0 * (cf - cc) / hc
+            l_f[:, 1, 1] = hf / hc
 
     if r is not None and rf is not None:
         l_blocks = l_f.reshape(mc, r, bs, bs)

@@ -285,6 +285,100 @@ def bench_flagship_solve(n: int):
     return dt, int(res.inner_cycles), prob.b.size
 
 
+def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
+    """10^8-DoF single-chip demonstration (BASELINE config 5 scale): host f64
+    assembly, float-float split + f32 hierarchy shipped to the chip (the f64
+    operators never leave the host), fused-kernel smoother sweeps at full
+    problem size, and the guarded mixed-precision solve to ``tol`` relative
+    residual.  Returns a dict of metrics."""
+    import jax.numpy as jnp
+
+    from agglomerationmultigrid1d_tpu.models.hierarchy import (
+        chebyshev_hierarchy,
+        strip_hierarchy,
+    )
+    from agglomerationmultigrid1d_tpu.models.problems import build_problem
+    from agglomerationmultigrid1d_tpu.models.solvers import _mixed_loop_ff
+    from agglomerationmultigrid1d_tpu.ops.df64 import FF, BlockTridiagFF, bt_split, ff_split
+    from agglomerationmultigrid1d_tpu.ops.pallas import pallas_block_jacobi_multisweep
+    from agglomerationmultigrid1d_tpu.utils.config import HierarchySpec
+    from agglomerationmultigrid1d_tpu.utils.host import on_host
+    from agglomerationmultigrid1d_tpu.utils.precision import hierarchy_astype
+
+    out = {"xl_dof": n_el * (p_fine + 1)}
+    n_agg = 1 + max(int(np.ceil(np.log2(n_el / 4 / 3072))), 0)
+    spec = HierarchySpec(
+        cg_orders=(), dg_orders=(p_fine,), n_agg_levels=n_agg, p_agg=1,
+        c_dir=1000.0 * n_el,
+    )
+    t0 = time.time()
+    prob = build_problem(spec, n_el, to_device=False)
+    out["xl_setup_host_s"] = round(time.time() - t0, 1)
+    log(f"XL host assembly ({n_el} el, {out['xl_dof']:.3g} DoF, {n_agg+1} levels): "
+        f"{out['xl_setup_host_s']}s")
+
+    t0 = time.time()
+    with on_host():
+        h = prob.hierarchy
+        a_ff_host = bt_split(h.levels[0].a)
+        h32 = hierarchy_astype(strip_hierarchy(h), jnp.float32)
+        lv0 = h32.levels[0]._replace(a=a_ff_host.hi)  # share hi with the ff pair
+        h32 = type(h32)(
+            levels=(lv0,) + h32.levels[1:], transfers=h32.transfers, coarse=h32.coarse
+        )
+        h32 = chebyshev_hierarchy(h32)
+        norm_b = float(np.linalg.norm(np.asarray(prob.b).T.reshape(-1)))
+        b_ff = ff_split(jnp.asarray(prob.b))
+    del prob, h  # free the host f64 hierarchy before the transfer
+    out["xl_setup_prep_s"] = round(time.time() - t0, 1)
+    log(f"XL ff-split + f32 cast + chebyshev: {out['xl_setup_prep_s']}s")
+
+    t0 = time.time()
+    h32 = to_accelerator(h32)
+    lo_dev = to_accelerator(a_ff_host.lo)
+    b_ff = to_accelerator(b_ff)
+    a_ff = BlockTridiagFF(hi=h32.levels[0].a, lo=lo_dev)
+    jax.block_until_ready(h32.levels[0].a)
+    out["xl_transfer_s"] = round(time.time() - t0, 1)
+    log(f"XL host->chip transfer: {out['xl_transfer_s']}s")
+
+    # smoother sweeps at full problem size (the north-star per-chip metric)
+    fine = h32.levels[0]
+    s_inv = fine.smoother.base.inv
+    x0 = jnp.zeros_like(b_ff.hi)
+    stepm = lambda x: pallas_block_jacobi_multisweep(  # noqa: E731
+        fine.a, s_inv, x, b_ff.hi, n_sweeps=3
+    )
+    x = stepm(x0)
+    dt = _time_chain(stepm, x, 30) / 3.0
+    nnz = sweep_nnz(n_el, p_fine + 1)
+    out["xl_sweep_gnnz_s"] = round(nnz / dt / 1e9, 1)
+    log(f"XL fused multisweep at {out['xl_dof']:.3g} DoF: {dt*1e3:.3f} ms/sweep "
+        f"-> {out['xl_sweep_gnnz_s']} GNNZ/s")
+
+    # guarded mixed-precision solve to tol (float-float defects on-chip)
+    x_ff = FF(x0, jnp.zeros_like(x0))
+    inv_nb = jnp.asarray(1.0 / norm_b, jnp.float32)
+    kw = dict(
+        maxiter=100, tol=tol, inner_tol=3.0e-5, max_inner=20,
+        n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=True,
+    )
+    t0 = time.time()
+    res = _mixed_loop_ff(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
+    rel = float(np.asarray(res[3])[int(res[1]) - 1])
+    log(f"XL solve compile+run: {time.time()-t0:.1f}s, outers={int(res[1])}, "
+        f"cycles={int(res[2])}, rel res={rel:.2e}")
+    t0 = time.time()
+    res = _mixed_loop_ff(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
+    jax.block_until_ready(res[0].hi)
+    out["xl_solve_s"] = round(time.time() - t0, 2)
+    out["xl_solve_cycles"] = int(res[2])
+    out["xl_solve_rel_res"] = float(np.asarray(res[3])[int(res[1]) - 1])
+    log(f"XL solve steady: {out['xl_solve_s']}s to rel res {out['xl_solve_rel_res']:.2e} "
+        f"({out['xl_solve_cycles']} f32 V-cycles)")
+    return out
+
+
 def main():
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
@@ -306,6 +400,12 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"flagship solve bench failed: {e}")
         fl_time, fl_iters, fl_dof = None, None, None
+
+    try:
+        xl = bench_xl_solve(1 << 16 if SMALL else 3 << 24)  # 1.0e8 DoF at p=1
+    except Exception as e:  # pragma: no cover
+        log(f"XL solve bench failed: {e}")
+        xl = {}
 
     result = {
         "metric": "fused block-Jacobi smoother sweeps (3x temporally blocked), 1D DG p=3 Poisson, f32 Pallas",
@@ -329,6 +429,7 @@ def main():
         "flagship_solve_cycles": fl_iters,
         "flagship_solve_dof": fl_dof,
     }
+    result.update(xl)
     print(json.dumps(result))
 
 
