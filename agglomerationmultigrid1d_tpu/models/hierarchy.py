@@ -105,20 +105,26 @@ def _block_level(
     )
 
 
-MAX_COARSE_DOF = 16384
+MAX_COARSE_DOF = 16384  # dense-solve cap for CG coarsest levels only
+DENSE_COARSE_MAX = 2048  # block levels beyond this use cyclic reduction
 
 
 def _coarse_lu(level: Level) -> CoarseSolver:
-    n_dof = level.a.n_nodes if isinstance(level, CgLevel) else level.a.n_dof
-    if n_dof > MAX_COARSE_DOF:
-        raise ValueError(
-            f"coarsest level has {n_dof} DoF (> {MAX_COARSE_DOF}); the dense coarse "
-            "solve would not fit — add more coarsening levels (e.g. agglomeration "
-            "levels for large element counts; DG p-coarsening alone never reduces "
-            "the element count)"
-        )
     if isinstance(level, CgLevel):
+        if level.a.n_nodes > MAX_COARSE_DOF:
+            raise ValueError(
+                f"coarsest CG level has {level.a.n_nodes} DoF (> {MAX_COARSE_DOF}); "
+                "the dense coarse solve would not fit — add more coarsening levels "
+                "(e.g. agglomeration levels for large element counts)"
+            )
         return make_coarse_solver(cg_to_dense(level.a))
+    if level.a.n_dof > DENSE_COARSE_MAX:
+        # block cyclic reduction: O(n bs^2) memory, no size cliff (the
+        # TPU-native stand-in for the reference's any-size UMFPACK coarse
+        # solve, solvers.jl:39)
+        from ..ops.coarse_solve import make_bt_coarse_solver
+
+        return make_bt_coarse_solver(level.a)
     return make_coarse_solver(bt_to_dense(level.a))
 
 

@@ -49,6 +49,12 @@ from .transfer_ops import (
     seam_prolong,
     seam_restrict,
 )
-from .coarse_solve import CoarseSolver, coarse_solve, make_coarse_solver
+from .coarse_solve import (
+    BTCoarseSolver,
+    CoarseSolver,
+    coarse_solve,
+    make_bt_coarse_solver,
+    make_coarse_solver,
+)
 
 __all__ = [name for name in dir() if not name.startswith("_")]

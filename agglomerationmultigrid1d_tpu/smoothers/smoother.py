@@ -90,15 +90,30 @@ def apply_smoother(s: Smoother, r: jax.Array, alpha: float = 1.0) -> jax.Array:
 def _invert_windows(windows: jax.Array) -> jax.Array:
     """(w, w, n) -> per-slice inverse, same layout.
 
-    Host-side setup (native C++ batched Gauss-Jordan when built, NumPy LAPACK
-    otherwise): the TPU backend has no f64 LU, and these are the counterparts
-    of the reference's per-block ``la.lu`` factorizations
-    (``smoother.jl:112,:127,:160``)."""
+    Host-side setup: the TPU backend has no f64 LU, so these are the
+    counterparts of the reference's per-block ``la.lu`` factorizations
+    (``smoother.jl:112,:127,:160``).  Block sizes 1/2 use the closed-form
+    cofactor inverse directly on the SoA layout (no transposes — the
+    AoS<->SoA copies dominated setup at 10^7+ elements); larger blocks go
+    through the native C++ batched Gauss-Jordan (NumPy LAPACK fallback)."""
     import numpy as np
 
     from ..ops.native import batched_inv
 
-    inv = batched_inv(np.moveaxis(np.asarray(windows), -1, 0))
+    w = np.asarray(windows)
+    bs = w.shape[0]
+    if bs == 1:
+        return jnp.asarray(1.0 / w)
+    if bs == 2:
+        a, b, c, d = w[0, 0], w[0, 1], w[1, 0], w[1, 1]
+        idet = 1.0 / (a * d - b * c)
+        inv = np.empty_like(w)
+        inv[0, 0] = d * idet
+        inv[0, 1] = -b * idet
+        inv[1, 0] = -c * idet
+        inv[1, 1] = a * idet
+        return jnp.asarray(inv)
+    inv = batched_inv(np.moveaxis(w, -1, 0))
     return jnp.asarray(np.moveaxis(inv, 0, -1))
 
 
