@@ -467,7 +467,10 @@ def _ff_update(x_ff, e):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("maxiter", "max_inner", "n_pre", "n_post", "alpha", "use_pallas")
+    jax.jit,
+    static_argnames=(
+        "maxiter", "max_inner", "n_pre", "n_post", "alpha", "use_pallas", "shard"
+    ),
 )
 def _mixed_loop_ff(
     h_low,
@@ -484,6 +487,7 @@ def _mixed_loop_ff(
     n_post,
     alpha,
     use_pallas,
+    shard=None,
 ):
     """The whole mixed-precision refinement as ONE on-device program.
 
@@ -506,7 +510,7 @@ def _mixed_loop_ff(
     """
     from ..ops.df64 import FF, ff_add, ff_defect
 
-    kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas)
+    kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard)
     nan32 = jnp.full((maxiter,), jnp.nan, dtype=jnp.float32)
     tol32 = jnp.asarray(tol, jnp.float32)
     it32 = jnp.asarray(inner_tol, jnp.float32)
@@ -576,8 +580,12 @@ def _mixed_loop_ff(
     return x_out, outer, cycles, res_h
 
 
-@functools.partial(jax.jit, static_argnames=("n_pre", "n_post", "alpha", "use_pallas"))
-def _mixed_inner_solve(h_low, r, inner_tol, max_cycles, *, n_pre, n_post, alpha, use_pallas):
+@functools.partial(
+    jax.jit, static_argnames=("n_pre", "n_post", "alpha", "use_pallas", "shard")
+)
+def _mixed_inner_solve(
+    h_low, r, inner_tol, max_cycles, *, n_pre, n_post, alpha, use_pallas, shard=None
+):
     """Solve the correction equation ``A e = r`` in low precision: V-cycles until
     the inner residual drops below ``inner_tol * ||r||`` (~f32 accuracy), stops
     contracting, or hits ``max_cycles``.  Returns ``(e_best, n_cycles)``.
@@ -596,7 +604,10 @@ def _mixed_inner_solve(h_low, r, inner_tol, max_cycles, *, n_pre, n_post, alpha,
 
     def body(state):
         e, best_e, best_res, best_i, i, res, _ = state
-        e = v_cycle(h_low, e, r, n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas)
+        e = v_cycle(
+            h_low, e, r, n_pre=n_pre, n_post=n_post, alpha=alpha,
+            use_pallas=use_pallas, shard=shard,
+        )
         new = jnp.linalg.norm(_flatten_level_vec(r - _level_matvec_opt(fine, e, use_pallas)))
         better = new < best_res
         best_e = jnp.where(better, e, best_e)
@@ -637,7 +648,7 @@ def _ff_zeros_like(x):
     return FF(jnp.zeros_like(x.hi), jnp.zeros_like(x.lo))
 
 
-def _smooth_ff(level, a_ff, u_ff, rhs_ff, n_sweeps, alpha, use_pallas):
+def _smooth_ff(level, a_ff, u_ff, rhs_ff, n_sweeps, alpha, use_pallas, shard=None):
     """Low-precision smoothing as a float-float-accumulated correction.
 
     The sweeps themselves run entirely in f32 on the hi parts (Pallas fast
@@ -646,7 +657,7 @@ def _smooth_ff(level, a_ff, u_ff, rhs_ff, n_sweeps, alpha, use_pallas):
     smooth-mode information of ``u`` is never truncated to f32."""
     from ..ops.df64 import FF, ff_add
 
-    u32 = _smooth_n(level, u_ff.hi, rhs_ff.hi, n_sweeps, alpha, use_pallas)
+    u32 = _smooth_n(level, u_ff.hi, rhs_ff.hi, n_sweeps, alpha, use_pallas, shard=shard)
     delta = u32 - u_ff.hi
     return ff_add(u_ff, FF(delta, jnp.zeros_like(delta)))
 
@@ -661,6 +672,7 @@ def v_cycle_ff(
     n_post: int = 3,
     alpha: float = 2.0 / 3.0,
     use_pallas: bool = False,
+    shard=None,
 ):
     """One *progressive-precision* V-cycle.
 
@@ -684,11 +696,16 @@ def v_cycle_ff(
     rhs = [None] * n
     u[0], rhs[0] = u_ff, rhs_ff
 
+    def _lvl_shard(k):
+        return (shard[0], shard[1]) if (shard is not None and shard[2][k]) else None
+
     for k in range(n - 1):
         level = h_low.levels[k]
         if k > 0:
             u[k] = _ff_zeros_like(rhs[k])
-        u[k] = _smooth_ff(level, a_ffs[k], u[k], rhs[k], n_pre, alpha, use_pallas)
+        u[k] = _smooth_ff(
+            level, a_ffs[k], u[k], rhs[k], n_pre, alpha, use_pallas, shard=_lvl_shard(k)
+        )
         r_ff = ff_defect(a_ffs[k], u[k], rhs[k])
         t = h_low.transfers[k]
         lvl_c = h_low.levels[k + 1]
@@ -717,16 +734,19 @@ def v_cycle_ff(
             _pad_cg(level, transfer_prolong(t, _crop_cg(lvl_c, u[k + 1].lo))),
         )
         u[k] = ff_add(u[k], corr)
-        u[k] = _smooth_ff(level, a_ffs[k], u[k], rhs[k], n_post, alpha, use_pallas)
+        u[k] = _smooth_ff(
+            level, a_ffs[k], u[k], rhs[k], n_post, alpha, use_pallas, shard=_lvl_shard(k)
+        )
     return u[0]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("maxiter", "n_pre", "n_post", "alpha", "use_pallas")
+    jax.jit,
+    static_argnames=("maxiter", "n_pre", "n_post", "alpha", "use_pallas", "shard"),
 )
 def _progressive_loop(
     h_low, a_ffs, x_ff, b_ff, inv_norm_b,
-    *, maxiter, tol, n_pre, n_post, alpha, use_pallas,
+    *, maxiter, tol, n_pre, n_post, alpha, use_pallas, shard=None,
 ):
     from ..ops.df64 import ff_add, ff_defect
 
@@ -747,7 +767,7 @@ def _progressive_loop(
         done = rel < tol32
         e_ff = v_cycle_ff(
             h_low, a_ffs, _ff_zeros_like(r_ff), r_ff,
-            n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas,
+            n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard,
         )
         x_new = ff_add(x_ff, e_ff)
         x_ff = jax.tree_util.tree_map(
@@ -781,6 +801,7 @@ def multigrid_progressive(
     n_post: int = 3,
     alpha: float = 2.0 / 3.0,
     use_pallas: bool = True,
+    shard=None,
 ) -> MultigridResult:
     """Multigrid with progressive-precision V-cycles: f32 smoother sweeps and
     coarse solves, float-float everything else.  Converges like the all-f64
@@ -801,7 +822,7 @@ def multigrid_progressive(
         h_low, a_ffs, ff_split(x0.astype(jnp.float64)), ff_split(b),
         jnp.asarray(1.0 / norm_b, jnp.float32),
         maxiter=maxiter, tol=tol, n_pre=n_pre, n_post=n_post, alpha=alpha,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, shard=shard,
     )
     err_h = np.full((maxiter,), np.nan)
     return MultigridResult(
@@ -827,6 +848,7 @@ def multigrid_mixed(
     use_pallas: bool = True,
     inner_tol: float = 3.0e-5,
     max_inner: int = 20,
+    shard=None,
 ) -> MultigridResult:
     """Mixed-precision iterative refinement: the correction equation
     ``A e = r`` is *solved* (not just preconditioned) in f32 with Pallas
@@ -854,6 +876,12 @@ def multigrid_mixed(
     refinement steps (``res_history[:iterations]`` is the per-step true-f64
     defect history, ending with the converged value); ``inner_cycles`` is the
     total number of f32 V-cycles executed.
+
+    ``shard = (mesh, axis, flags)`` (see :func:`v_cycle` /
+    ``parallel.distributed.fused_shard_spec``) routes the flagged block levels'
+    inner-cycle smoothing through the shard_map fused kernels; the float-float
+    defects stay on global arrays, where XLA's SPMD partitioner turns their
+    pad+slice shifts into the same one-column collective-permutes.
     """
     import numpy as np
 
@@ -863,7 +891,7 @@ def multigrid_mixed(
     fine = h.levels[0]
     norm_b = float(jnp.linalg.norm(_flatten_level_vec(b)))
     err_h = np.full((maxiter,), np.nan)
-    kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas)
+    kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard)
 
     if isinstance(fine, (BlockLevel, CgLevel)) and low_dtype == jnp.float32:
         # float-float fast path: the entire refinement is one on-device program

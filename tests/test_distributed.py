@@ -99,6 +99,46 @@ def test_sharded_cg_levels_are_actually_sharded():
     np.testing.assert_allclose(np.asarray(out)[fine.a.n_nodes :], 0.0, atol=0)
 
 
+def test_sharded_mixed_and_progressive_match_single():
+    """The float-float mixed and progressive-precision solvers accept
+    ``shard=`` (fused shard_map smoothing on the flagged block levels, auto-SPMD
+    float-float defects) and reproduce the single-device solve — the north-star
+    configuration of fused sharded sweeps *plus* ff defect correction in one
+    solve."""
+    from agglomerationmultigrid1d_tpu.models.solvers import (
+        make_low_precision_hierarchy,
+        multigrid_mixed,
+        multigrid_progressive,
+    )
+    from agglomerationmultigrid1d_tpu.parallel import fused_shard_spec
+
+    prob = poisson_dg_hierarchy(n=128, max_p=4, n_dg=3)
+    h32_ref = make_low_precision_hierarchy(prob.hierarchy)
+    b = prob.b
+    nb = float(jnp.linalg.norm(b.T.reshape(-1)))
+
+    mesh = make_solver_mesh(8)
+    h = shard_hierarchy(prob.hierarchy, mesh, min_blocks_per_device=4)
+    h32 = shard_hierarchy(h32_ref, mesh, min_blocks_per_device=4)
+    bs = shard_vector(b, mesh)
+    shard = fused_shard_spec(h32, mesh)
+    assert any(shard[2]), "expected sharded block levels for the fused path"
+
+    for solver in (multigrid_mixed, multigrid_progressive):
+        res_ref = solver(
+            prob.hierarchy, h32_ref, jnp.zeros_like(b), b, 60, 1e-10, use_pallas=False
+        )
+        res = solver(h, h32, jnp.zeros_like(bs), bs, 60, 1e-10,
+                     use_pallas=False, shard=shard)
+        it_ref, it = int(res_ref.iterations), int(res.iterations)
+        assert np.asarray(res.res_history)[it - 1] < 1e-10 * nb
+        # f32 reduction order differs across shards; allow one extra outer step
+        assert abs(it - it_ref) <= 1, (solver.__name__, it, it_ref)
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.asarray(res_ref.x), atol=1e-9 * nb
+        )
+
+
 def test_sharded_v_cycle_is_actually_sharded():
     """The fine-level arrays must carry a non-trivial sharding after device_put."""
     prob = poisson_dg_hierarchy(n=128, max_p=4, n_dg=2)
