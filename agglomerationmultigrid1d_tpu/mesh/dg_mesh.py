@@ -56,13 +56,24 @@ class DgMesh:
         )
 
 
-def make_dg_mesh(mesh: Mesh1D, p: int, switch: np.ndarray | None = None) -> DgMesh:
+def make_dg_mesh(
+    mesh: Mesh1D, p: int, switch: np.ndarray | None = None, allow_trapped: bool = False
+) -> DgMesh:
     """``switch`` (optional, (n_el - 1,) bool): per interior vertex, True takes
     u-hat from the left element and q-hat from the right (the reference's
     resolved default); False flips the sides — the explicit-switch constructor
-    ``dg_mesh.jl:114-138``.  Note a *mixed* switch makes the Schur stiffness
-    ``C - D M^-1 G`` block-pentadiagonal (exactly as the reference's generic
-    sparse A would be); uniform choices stay block-tridiagonal."""
+    ``dg_mesh.jl:114-138``.
+
+    A switch with an adjacent (True, False) pair at vertices (j, j+1) leaves
+    element ``j + 1`` *u-trapped*: its trace enters no flux term, the scheme
+    loses control of one mode per such pair, and the exact Schur stiffness
+    ``A = C - D M^-1 G`` is **singular** (the reference's generic sparse A is
+    equally singular there — its tests never exercise a mixed switch).  Those
+    are also exactly the configurations whose A is block-PENTAdiagonal; every
+    non-trapping switch yields a block-tridiagonal A.  Trapping switches are
+    rejected here unless ``allow_trapped=True`` (analysis use: the
+    pentadiagonal operator path, ``ops.block_penta``, represents the singular
+    A exactly)."""
     ref = make_reference_element(p)
     jac = jnp.asarray(mesh.jacobians)
     blocks = jnp.asarray(ref.mass)[:, :, None] * jac[None, None, :]
@@ -71,6 +82,16 @@ def make_dg_mesh(mesh: Mesh1D, p: int, switch: np.ndarray | None = None) -> DgMe
         switch = np.asarray(switch, dtype=bool)
         if switch.shape != (mesh.n_elements - 1,):
             raise ValueError("switch must have one entry per interior vertex")
+        trapped = switch[:-1] & ~switch[1:]
+        if trapped.any() and not allow_trapped:
+            els = (np.nonzero(trapped)[0] + 1).tolist()
+            raise ValueError(
+                f"switch u-traps element(s) {els}: a True vertex followed by a "
+                "False vertex means neither neighbor flux reads that element's "
+                "trace, making the DG operator singular. Pass "
+                "allow_trapped=True to build the (singular, block-"
+                "pentadiagonal) operator anyway for analysis."
+            )
         if switch.all():
             switch = None  # identical to the default rule
     return DgMesh(

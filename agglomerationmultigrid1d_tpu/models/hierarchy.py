@@ -96,10 +96,43 @@ def _schur_stiffness(
     return bt_sub(c, bt_mul_bt(d, bd_mul_bt(mass_inv, g)))
 
 
-def _block_level(
+@jax.jit
+def _schur_stiffness_penta(
     g: BlockTridiag, d: BlockTridiag, c: BlockTridiag, mass_inv: BlockDiag
+):
+    """Pentadiagonal ``A = C - D (M^-1 G)`` for *mixed-switch* DG levels, where
+    the product's distance-2 blocks are nonzero (the reference's generic CSC A,
+    ``dg_mesh.jl:114-138``, absorbs them silently; ``bt_mul_bt`` would drop
+    them — see ``ops.block_penta``)."""
+    from ..ops.block_penta import bp5_sub, bt_as_penta, bt_mul_bt_full
+
+    return bp5_sub(bt_as_penta(c), bt_mul_bt_full(d, bd_mul_bt(mass_inv, g)))
+
+
+def schur_stiffness(
+    g: BlockTridiag,
+    d: BlockTridiag,
+    c: BlockTridiag,
+    mass_inv: BlockDiag,
+    *,
+    mixed_switch: bool = False,
+):
+    """Public ``A = C - D M^-1 G``.  Pass ``mixed_switch=True`` (or build from
+    a ``DgMesh`` with a non-default switch) to get the exact block-pentadiagonal
+    operator instead of the tridiagonal fast path."""
+    if mixed_switch:
+        return _schur_stiffness_penta(g, d, c, mass_inv)
+    return _schur_stiffness(g, d, c, mass_inv)
+
+
+def _block_level(
+    g: BlockTridiag,
+    d: BlockTridiag,
+    c: BlockTridiag,
+    mass_inv: BlockDiag,
+    penta: bool = False,
 ) -> BlockLevel:
-    a = _schur_stiffness(g, d, c, mass_inv)
+    a = schur_stiffness(g, d, c, mass_inv, mixed_switch=penta)
     return BlockLevel(
         a=a, g=g, d=d, c=c, mass_inv=mass_inv.blocks, smoother=dg_smoother(a, "blockJac")
     )
@@ -110,6 +143,8 @@ DENSE_COARSE_MAX = 2048  # block levels beyond this use cyclic reduction
 
 
 def _coarse_lu(level: Level) -> CoarseSolver:
+    from ..ops.block_penta import BlockPenta, bp5_to_dense
+
     if isinstance(level, CgLevel):
         if level.a.n_nodes > MAX_COARSE_DOF:
             raise ValueError(
@@ -118,6 +153,12 @@ def _coarse_lu(level: Level) -> CoarseSolver:
                 "(e.g. agglomeration levels for large element counts)"
             )
         return make_coarse_solver(cg_to_dense(level.a))
+    if isinstance(level.a, BlockPenta):
+        if level.a.n_dof > DENSE_COARSE_MAX:
+            from ..ops.coarse_solve import make_penta_coarse_solver
+
+            return make_penta_coarse_solver(level.a)
+        return make_coarse_solver(bp5_to_dense(level.a))
     if level.a.n_dof > DENSE_COARSE_MAX:
         # block cyclic reduction: O(n bs^2) memory, no size cliff (the
         # TPU-native stand-in for the reference's any-size UMFPACK coarse
@@ -147,6 +188,10 @@ def build_hierarchy(
 
     levels: list[Level] = [CgLevel(a=a_fine, smoother=cg_smoother(a_fine, cg_smoother_kind))]
     transfers: list[Transfer] = []
+    # once a mixed-switch DG level enters the chain, every block level below it
+    # recombines into the exact pentadiagonal Schur stiffness (the Galerkin
+    # projections of G, D, C preserve the flipped-vertex coupling pattern)
+    mixed = False
 
     for i in range(1, n_levels):
         fine_mesh, mesh = meshes[i - 1], meshes[i]
@@ -165,6 +210,7 @@ def build_hierarchy(
                 # CG -> DG seam: lumped-mass transfer + direct flux assembly
                 l = dg_cg_interpolation(mesh, fine_mesh, 1)
                 g, d, c = dg_flux_operators(mesh, bc, c_dir)
+                mixed = mesh.u_hat_left is not None
             elif isinstance(fine_mesh, DgMesh):
                 l = dg_dg_interpolation(mesh, fine_mesh)
                 g = _block_galerkin(l, prev.g)
@@ -172,7 +218,7 @@ def build_hierarchy(
                 c = _block_galerkin(l, prev.c)
             else:
                 raise ValueError("DG level below an agglomerated level")
-            levels.append(_block_level(g, d, c, mesh.mass_inv))
+            levels.append(_block_level(g, d, c, mesh.mass_inv, penta=mixed))
             transfers.append(l)
 
         elif isinstance(mesh, AggMesh):
@@ -190,7 +236,7 @@ def build_hierarchy(
                 g = _block_galerkin(l, prev.g)
                 d = _block_galerkin(l, prev.d)
                 c = _block_galerkin(l, prev.c)
-            levels.append(_block_level(g, d, c, mesh.mass_inv))
+            levels.append(_block_level(g, d, c, mesh.mass_inv, penta=mixed))
             transfers.append(l)
         else:
             raise TypeError(f"unknown mesh type {type(mesh)}")
@@ -207,9 +253,24 @@ def build_dg_hierarchy(
     d: BlockTridiag,
     c: BlockTridiag,
 ) -> Hierarchy:
-    """DG-topped hierarchy (``mesh_heirarchy.jl:140-181``): finest operators given."""
+    """DG-topped hierarchy (``mesh_heirarchy.jl:140-181``): finest operators given.
+
+    A finest mesh with a *mixed* switch must supply a block-pentadiagonal ``a``
+    (``schur_stiffness(..., mixed_switch=True)``); a tridiagonal ``a`` would be
+    a silent truncation of the true operator and is rejected.
+    """
+    from ..ops.block_penta import BlockPenta
+
     if not isinstance(meshes[0], DgMesh):
         raise ValueError("at least one DG mesh required at the top")
+    penta = isinstance(a, BlockPenta)
+    if meshes[0].u_hat_left is not None and not penta:
+        raise ValueError(
+            "the finest mesh has a mixed switch, which makes A = C - D M^-1 G "
+            "block-PENTAdiagonal; the given block-tridiagonal `a` drops its "
+            "distance-2 blocks — build it with "
+            "schur_stiffness(g, d, c, mass_inv, mixed_switch=True)"
+        )
     levels: list[Level] = [
         BlockLevel(
             a=a, g=g, d=d, c=c, mass_inv=meshes[0].mass_inv.blocks,
@@ -232,7 +293,7 @@ def build_dg_hierarchy(
         gc = _block_galerkin(l, prev.g)
         dc = _block_galerkin(l, prev.d)
         cc = _block_galerkin(l, prev.c)
-        levels.append(_block_level(gc, dc, cc, mesh.mass_inv))
+        levels.append(_block_level(gc, dc, cc, mesh.mass_inv, penta=penta))
         transfers.append(l)
 
     return Hierarchy(

@@ -27,10 +27,10 @@ from ..mesh.cg_mesh import make_cg_mesh
 from ..mesh.dg_mesh import make_dg_mesh
 from ..mesh.topology import BoundaryCondition, create_uniform_mesh
 from ..ops.block_diag import bd_matvec
-from ..ops.block_tridiag import bd_mul_bt, bt_matvec, bt_mul_bt, bt_sub
+from ..ops.block_tridiag import bt_matvec
 from ..utils.config import CycleParams, HierarchySpec, SolveParams
 from ..utils.host import host_setup, to_accelerator
-from .hierarchy import Hierarchy, build_dg_hierarchy, build_hierarchy
+from .hierarchy import Hierarchy, build_dg_hierarchy, build_hierarchy, schur_stiffness
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,7 +98,7 @@ def build_problem(
     else:
         dg = meshes[0]
         g, d, c = dg_flux_operators(dg, bc, spec.c_dir)
-        a = bt_sub(c, bt_mul_bt(d, bd_mul_bt(dg.mass_inv, g)))
+        a = schur_stiffness(g, d, c, dg.mass_inv, mixed_switch=dg.u_hat_left is not None)
         f, r = dg_flux_rhs(dg, func, bc, spec.c_dir)
         b = f - bt_matvec(d, bd_matvec(dg.mass_inv, r))
         h = build_dg_hierarchy(meshes, a, g, d, c)
@@ -173,8 +173,11 @@ def poisson_cg_hierarchy(
     n_cg: int = 4,
     func: Callable | None = None,
     bc: BoundaryCondition | None = None,
+    cg_smoother: str = "jac",
 ) -> Problem:
-    spec = HierarchySpec(cg_orders=tuple(_cg_orders(max_p, n_cg)), n_agg_levels=0)
+    spec = HierarchySpec(
+        cg_orders=tuple(_cg_orders(max_p, n_cg)), n_agg_levels=0, cg_smoother=cg_smoother
+    )
     return build_problem(spec, n, func, bc)
 
 

@@ -16,7 +16,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.block_tridiag import bt_matvec
+from ..ops.block_penta import BlockPenta, bp5_matvec
+from ..ops.block_tridiag import BlockTridiag, bt_matvec
 from ..ops.cg_operator import cg_matvec
 from ..ops.coarse_solve import coarse_solve
 from ..ops.transfer_ops import (
@@ -40,6 +41,8 @@ from .hierarchy import BlockLevel, CgLevel, Hierarchy
 def level_matvec(level, x):
     if isinstance(level, CgLevel):
         return cg_matvec(level.a, x)
+    if isinstance(level.a, BlockPenta):
+        return bp5_matvec(level.a, x)
     return bt_matvec(level.a, x)
 
 
@@ -104,6 +107,7 @@ def _pallas_smooth_ok(level, u, use_pallas):
     return (
         use_pallas
         and isinstance(level, BlockLevel)
+        and isinstance(level.a, BlockTridiag)
         and isinstance(level.smoother, BlockJacobiSmoother)
         and u.dtype == jnp.float32
     )
@@ -115,6 +119,7 @@ def _cheb_pallas_ok(level, u, use_pallas):
     return (
         use_pallas
         and isinstance(level, BlockLevel)
+        and isinstance(level.a, BlockTridiag)
         and isinstance(level.smoother.base, BlockJacobiSmoother)
         and u.dtype == jnp.float32
     )
@@ -136,6 +141,7 @@ def _smooth_cheb(level, u, rhs, degree, use_pallas, emit_residual=False, shard=N
     if (
         shard is not None
         and isinstance(level, BlockLevel)
+        and isinstance(level.a, BlockTridiag)
         and isinstance(s.base, BlockJacobiSmoother)
     ):
         from ..ops.pallas import chebyshev_coefficients
@@ -189,6 +195,7 @@ def _smooth_n(level, u, rhs, n_sweeps, alpha, use_pallas, shard=None):
     if (
         shard is not None
         and isinstance(level, BlockLevel)
+        and isinstance(level.a, BlockTridiag)
         and isinstance(level.smoother, BlockJacobiSmoother)
     ):
         from ..parallel.sharded_kernels import sharded_multisweep
@@ -220,6 +227,7 @@ def _smooth_n_residual(level, u, rhs, n_sweeps, alpha, use_pallas, shard=None):
     if (
         shard is not None
         and isinstance(level, BlockLevel)
+        and isinstance(level.a, BlockTridiag)
         and isinstance(level.smoother, BlockJacobiSmoother)
     ):
         from ..parallel.sharded_kernels import sharded_multisweep
@@ -239,7 +247,12 @@ def _smooth_n_residual(level, u, rhs, n_sweeps, alpha, use_pallas, shard=None):
 
 
 def _level_matvec_opt(level, x, use_pallas):
-    if use_pallas and isinstance(level, BlockLevel) and x.dtype == jnp.float32:
+    if (
+        use_pallas
+        and isinstance(level, BlockLevel)
+        and isinstance(level.a, BlockTridiag)
+        and x.dtype == jnp.float32
+    ):
         from ..ops.pallas import pallas_bt_matvec
 
         return pallas_bt_matvec(level.a, x)
@@ -813,6 +826,13 @@ def multigrid_progressive(
 
     from ..ops.df64 import bt_split, cg_band_split, ff_join, ff_split
 
+    if any(isinstance(lv, BlockLevel) and isinstance(lv.a, BlockPenta) for lv in h.levels):
+        raise TypeError(
+            "progressive-precision cycles have no float-float pentadiagonal "
+            "defect; mixed-switch hierarchies solve through multigrid() or "
+            "multigrid_mixed() (whose generic path evaluates the f64 defect "
+            "with level_matvec)"
+        )
     a_ffs = tuple(
         cg_band_split(lv.a.band) if isinstance(lv, CgLevel) else bt_split(lv.a)
         for lv in h.levels
@@ -893,7 +913,10 @@ def multigrid_mixed(
     err_h = np.full((maxiter,), np.nan)
     kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard)
 
-    if isinstance(fine, (BlockLevel, CgLevel)) and low_dtype == jnp.float32:
+    ff_able = isinstance(fine, CgLevel) or (
+        isinstance(fine, BlockLevel) and isinstance(fine.a, BlockTridiag)
+    )
+    if ff_able and low_dtype == jnp.float32:
         # float-float fast path: the entire refinement is one on-device program
         a_ff = cg_band_split(fine.a.band) if isinstance(fine, CgLevel) else bt_split(fine.a)
         b_ff = ff_split(b)
@@ -907,7 +930,11 @@ def multigrid_mixed(
         res_h = np.asarray(res_scaled, dtype=np.float64) * norm_b
         rel_out = res_h[outer_i - 1] / norm_b if outer_i > 0 else np.inf
         remaining = maxiter - max(cycles_i, outer_i)
-        if rel_out > tol and remaining > 0:
+        all_ff_able = not any(
+            isinstance(lv, BlockLevel) and not isinstance(lv.a, BlockTridiag)
+            for lv in h.levels
+        )
+        if rel_out > tol and remaining > 0 and all_ff_able:
             # the f32 inner V-cycle is not a contraction for this operator
             # (cond(A) >~ 1/eps_f32): continue with progressive-precision
             # cycles, which converge like f64 at ~f32 cost (see v_cycle_ff)

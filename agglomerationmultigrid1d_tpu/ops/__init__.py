@@ -49,12 +49,23 @@ from .transfer_ops import (
     seam_prolong,
     seam_restrict,
 )
+from .block_penta import (
+    BlockPenta,
+    bp5_matvec,
+    bp5_pair_merge,
+    bp5_sub,
+    bp5_to_dense,
+    bt_as_penta,
+    bt_mul_bt_full,
+)
 from .coarse_solve import (
     BTCoarseSolver,
     CoarseSolver,
+    PaddedBTCoarseSolver,
     coarse_solve,
     make_bt_coarse_solver,
     make_coarse_solver,
+    make_penta_coarse_solver,
 )
 
 __all__ = [name for name in dir() if not name.startswith("_")]

@@ -50,6 +50,22 @@ def bt_banded_ab(a: BlockTridiag) -> tuple[int, np.ndarray]:
     return u, ab
 
 
+def bp5_banded_ab(a) -> tuple[int, np.ndarray]:
+    """LAPACK banded storage of a flattened :class:`~.block_penta.BlockPenta`
+    (scalar bandwidth ``3 bs - 1``)."""
+    bs, n = a.block_size, a.n_blocks
+    u = 3 * bs - 1
+    ab = np.zeros((2 * u + 1, n * bs))
+    for d, mat in zip((-2, -1, 0, 1, 2), a):
+        m = np.asarray(mat, dtype=np.float64)
+        ks = np.arange(max(0, -d), n - max(0, d))
+        for i in range(bs):
+            for j in range(bs):
+                cols = (ks + d) * bs + j
+                ab[u - d * bs + i - j, cols] = m[i, j, ks]
+    return u, ab
+
+
 def banded_solve(u: int, ab: np.ndarray, b: np.ndarray) -> np.ndarray:
     from scipy.linalg import solve_banded
 
@@ -63,11 +79,15 @@ def fine_direct_solve(level, b_flat: np.ndarray) -> np.ndarray:
     type :class:`CgOperator` / :class:`BlockTridiag`); ``b_flat`` the flattened
     DoF vector.
     """
+    from .block_penta import BlockPenta
+
     op = level.a
     if isinstance(op, CgOperator):
         u, ab = cg_banded_ab(op)
     elif isinstance(op, BlockTridiag):
         u, ab = bt_banded_ab(op)
+    elif isinstance(op, BlockPenta):
+        u, ab = bp5_banded_ab(op)
     else:  # pragma: no cover
         raise TypeError(f"unknown operator type {type(op)}")
     return banded_solve(u, ab, np.asarray(b_flat, dtype=np.float64))

@@ -195,8 +195,32 @@ def _bt_solve(s: BTCoarseSolver, b: jax.Array) -> jax.Array:
     return x.T.reshape(-1)
 
 
+class PaddedBTCoarseSolver(NamedTuple):
+    """A :class:`BTCoarseSolver` of a pair-merged pentadiagonal operator whose
+    original block count was odd: the flat rhs is zero-padded by one fine
+    block before the merged solve and the solution cropped back (the padding
+    row is the identity, so the padded unknowns are exactly zero)."""
+
+    inner: BTCoarseSolver
+    n_dof: int  # real (unpadded) DoF count
+
+
+def make_penta_coarse_solver(a) -> "PaddedBTCoarseSolver | BTCoarseSolver":
+    """Cyclic-reduction factorization of a :class:`~.block_penta.BlockPenta`
+    coarsest operator via pair-merging to block size ``2 bs``."""
+    from .block_penta import bp5_pair_merge
+
+    inner = make_bt_coarse_solver(bp5_pair_merge(a))
+    if a.n_blocks % 2 == 0:
+        return inner
+    return PaddedBTCoarseSolver(inner=inner, n_dof=a.n_dof)
+
+
 def coarse_solve(f, b: jax.Array) -> jax.Array:
     """Direct solve dispatch on the factorization type (flat vector in/out)."""
+    if isinstance(f, PaddedBTCoarseSolver):
+        pad = f.inner.a.n_dof - f.n_dof
+        return _bt_solve(f.inner, jnp.pad(b, (0, pad)))[: f.n_dof]
     if isinstance(f, BTCoarseSolver):
         return _bt_solve(f, b)
     return _dense_solve(f, b)

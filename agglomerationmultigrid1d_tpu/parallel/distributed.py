@@ -184,9 +184,11 @@ def fused_shard_spec(h: Hierarchy, mesh: Mesh) -> tuple:
     with ppermute halo exchange (``parallel.sharded_kernels``); CG levels and
     replicated levels stay on XLA's automatic SPMD partitioning.
     """
+    from ..ops.block_tridiag import BlockTridiag
+
     flags = []
     for lv in h.levels:
-        ok = isinstance(lv, BlockLevel)
+        ok = isinstance(lv, BlockLevel) and isinstance(lv.a, BlockTridiag)
         if ok:
             spec = getattr(lv.a.diag.sharding, "spec", P())
             ok = spec == P(None, None, AXIS)

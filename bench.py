@@ -24,6 +24,23 @@ import time
 
 import numpy as np
 
+_T0 = time.time()
+# Wall-clock budget for the whole script.  The driver runs bench.py under a
+# hard timeout; round 2 overran it (rc 124) and recorded NOTHING, so every
+# stage below is budget-guarded and the result JSON is re-emitted (complete,
+# one line, flushed) after every stage — whatever happens, the last line of
+# stdout is a valid headline record.
+BUDGET_S = float(os.environ.get("AGGMG_BENCH_BUDGET_S", "900"))
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.time() - _T0)
+
+
+def emit(result: dict) -> None:
+    """Print the (current, complete) result as one JSON line and flush."""
+    print(json.dumps(result), flush=True)
+
 import jax
 import jax.numpy as jnp
 
@@ -133,19 +150,17 @@ def bench_stream_bw(a, s, b, iters: int = 50) -> float:
     return _sweep_pass_bytes(n, bs, b.dtype) / dt
 
 
-def bench_sweeps(n_el: int, p: int = 3, iters: int = 100):
+def bench_sweeps(n_el: int, p: int = 3, iters: int = 100, on_headline=None):
     nnz = sweep_nnz(n_el, p + 1)
     out = {}
 
-    # fused multisweep, f32 (headline): 3 sweeps per HBM pass
+    # fused multisweep, f32 (headline): 3 sweeps per HBM pass — measured FIRST
+    # so ``on_headline`` can emit a complete record before the optional sweep
+    # variants spend any further compile time
     from agglomerationmultigrid1d_tpu.ops.pallas import pallas_block_jacobi_multisweep
 
     a, s, b = build_smoother_problem(n_el, p, jnp.float32)
     pass_bytes = _sweep_pass_bytes(n_el, p + 1)
-
-    stream_bw = bench_stream_bw(a, s, b)
-    out["stream_bw_gbps"] = stream_bw / 1e9
-    log(f"stream (speed-of-light for this operand set): {stream_bw/1e9:.0f} GB/s")
 
     stepm = lambda x: pallas_block_jacobi_multisweep(a, s.inv, x, b, n_sweeps=3)  # noqa: E731
     x = stepm(jnp.zeros_like(b))
@@ -153,10 +168,23 @@ def bench_sweeps(n_el: int, p: int = 3, iters: int = 100):
     dt = dt3 / 3.0
     out["pallas_multisweep_f32"] = nnz / dt
     out["multisweep_gbps"] = pass_bytes / dt3 / 1e9
+    log(f"pallas multisweep(3) f32: {dt*1e3:.3f} ms/sweep -> {nnz/dt/1e9:.1f} GNNZ/s")
+    if on_headline is not None:
+        on_headline(out)
+    if remaining() < 120:  # variants are optional; never risk the record
+        log(f"[budget] skipping sweep variants: {remaining():.0f}s left")
+        zero = {k: 0.0 for k in (
+            "stream_bw_gbps", "multisweep_pct_of_stream", "pallas_f32",
+            "sharded_multisweep_f32", "single_sweep_gbps", "xla_f32", "xla_f64",
+        )}
+        return {**zero, **out}
+
+    stream_bw = bench_stream_bw(a, s, b)
+    out["stream_bw_gbps"] = stream_bw / 1e9
     out["multisweep_pct_of_stream"] = 100.0 * pass_bytes / dt3 / stream_bw
     log(
-        f"pallas multisweep(3) f32: {dt*1e3:.3f} ms/sweep -> {nnz/dt/1e9:.1f} GNNZ/s "
-        f"({pass_bytes/dt3/1e9:.0f} GB/s pass = {out['multisweep_pct_of_stream']:.0f}% of stream)"
+        f"stream (speed-of-light for this operand set): {stream_bw/1e9:.0f} GB/s "
+        f"(multisweep pass = {out['multisweep_pct_of_stream']:.0f}% of stream)"
     )
 
     # single-sweep pallas f32
@@ -383,54 +411,78 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
 
-    n_el = 1 << 14 if SMALL else 1 << 22  # 4M elements = 16.8M DoF at p=3
-    sweeps = bench_sweeps(n_el)
-
+    # ---- headline stage (always runs): serial-CPU baseline, then the fused
+    # multisweep — a complete record is emitted the moment the multisweep
+    # number exists, BEFORE the remaining sweep variants compile ----
     np_el = 1 << 14 if SMALL else 1 << 18
     cpu_nnz_s = bench_sweep_numpy(np_el)
 
-    try:
-        mx_time, mx_iters, mx_dof = bench_mixed_solve(1 << 12 if SMALL else 1 << 19)
-    except Exception as e:  # pragma: no cover
-        log(f"mixed solve bench failed: {e}")
-        mx_time, mx_iters, mx_dof = None, None, None
-
-    try:
-        fl_time, fl_iters, fl_dof = bench_flagship_solve(1 << 10 if SMALL else 1 << 14)
-    except Exception as e:  # pragma: no cover
-        log(f"flagship solve bench failed: {e}")
-        fl_time, fl_iters, fl_dof = None, None, None
-
-    try:
-        xl = bench_xl_solve(1 << 16 if SMALL else 3 << 24)  # 1.0e8 DoF at p=1
-    except Exception as e:  # pragma: no cover
-        log(f"XL solve bench failed: {e}")
-        xl = {}
-
+    n_el = 1 << 14 if SMALL else 1 << 22  # 4M elements = 16.8M DoF at p=3
     result = {
         "metric": "fused block-Jacobi smoother sweeps (3x temporally blocked), 1D DG p=3 Poisson, f32 Pallas",
-        "value": round(sweeps["pallas_multisweep_f32"] / 1e9, 2),
+        "value": None,
         "unit": "GNNZ/s/chip",
-        "vs_baseline": round(sweeps["pallas_multisweep_f32"] / cpu_nnz_s, 1),
+        "vs_baseline": None,
         "baseline": "same sweep, vectorized host NumPy f64 (serial-CPU stand-in; reference publishes no numbers)",
         "problem_dof": n_el * 4,
-        "pallas_single_sweep_gnnz_s": round(sweeps["pallas_f32"] / 1e9, 2),
-        "sharded_multisweep_gnnz_s": round(sweeps["sharded_multisweep_f32"] / 1e9, 2),
-        "stream_bw_gbps": round(sweeps["stream_bw_gbps"], 1),
-        "multisweep_gbps": round(sweeps["multisweep_gbps"], 1),
-        "multisweep_pct_of_stream_bw": round(sweeps["multisweep_pct_of_stream"], 1),
-        "single_sweep_gbps": round(sweeps["single_sweep_gbps"], 1),
-        "xla_f32_gnnz_s": round(sweeps["xla_f32"] / 1e9, 2),
-        "xla_f64_gnnz_s": round(sweeps["xla_f64"] / 1e9, 3),
-        "mixed_solve_to_1e-10_s": mx_time if mx_time is None else round(mx_time, 3),
-        "mixed_solve_iterations": mx_iters,
-        "mixed_solve_dof": mx_dof,
-        "flagship_solve_to_1e-10_s": fl_time if fl_time is None else round(fl_time, 3),
-        "flagship_solve_cycles": fl_iters,
-        "flagship_solve_dof": fl_dof,
     }
-    result.update(xl)
-    print(json.dumps(result))
+
+    def _on_headline(out):
+        result["value"] = round(out["pallas_multisweep_f32"] / 1e9, 2)
+        result["vs_baseline"] = round(out["pallas_multisweep_f32"] / cpu_nnz_s, 1)
+        result["multisweep_gbps"] = round(out["multisweep_gbps"], 1)
+        emit(result)  # the headline record exists from this point on
+        log(f"[budget] headline done at {time.time()-_T0:.0f}s, {remaining():.0f}s left")
+
+    sweeps = bench_sweeps(n_el, on_headline=_on_headline)
+    result.update(
+        {
+            "pallas_single_sweep_gnnz_s": round(sweeps["pallas_f32"] / 1e9, 2),
+            "sharded_multisweep_gnnz_s": round(sweeps["sharded_multisweep_f32"] / 1e9, 2),
+            "stream_bw_gbps": round(sweeps["stream_bw_gbps"], 1),
+            "multisweep_pct_of_stream_bw": round(sweeps["multisweep_pct_of_stream"], 1),
+            "single_sweep_gbps": round(sweeps["single_sweep_gbps"], 1),
+            "xla_f32_gnnz_s": round(sweeps["xla_f32"] / 1e9, 2),
+            "xla_f64_gnnz_s": round(sweeps["xla_f64"] / 1e9, 3),
+        }
+    )
+    emit(result)
+    log(f"[budget] sweep variants done at {time.time()-_T0:.0f}s, {remaining():.0f}s left")
+
+    # ---- optional stages, cheapest first, each budget-guarded ----
+    def stage(name: str, est_s: float, fn):
+        if remaining() < est_s:
+            log(f"[budget] skipping {name}: needs ~{est_s:.0f}s, {remaining():.0f}s left")
+            result[f"{name}_skipped"] = "budget"
+            return
+        try:
+            t0 = time.time()
+            fn()
+            log(f"[budget] {name} done in {time.time()-t0:.0f}s, {remaining():.0f}s left")
+        except Exception as e:  # pragma: no cover
+            log(f"{name} bench failed: {e}")
+        emit(result)
+
+    def _flagship():
+        fl_time, fl_iters, fl_dof = bench_flagship_solve(1 << 10 if SMALL else 1 << 14)
+        result["flagship_solve_to_1e-10_s"] = round(fl_time, 3)
+        result["flagship_solve_cycles"] = fl_iters
+        result["flagship_solve_dof"] = fl_dof
+
+    def _mixed():
+        mx_time, mx_iters, mx_dof = bench_mixed_solve(1 << 12 if SMALL else 1 << 19)
+        result["mixed_solve_to_1e-10_s"] = round(mx_time, 3)
+        result["mixed_solve_iterations"] = mx_iters
+        result["mixed_solve_dof"] = mx_dof
+
+    def _xl():
+        xl_el = int(os.environ.get("AGGMG_BENCH_XL_EL", str(1 << 16 if SMALL else 1 << 24)))
+        result.update(bench_xl_solve(xl_el))
+
+    stage("flagship_solve", 60 if SMALL else 150, _flagship)
+    stage("mixed_solve", 60 if SMALL else 180, _mixed)
+    stage("xl_solve", 60 if SMALL else 300, _xl)
+    emit(result)
 
 
 if __name__ == "__main__":

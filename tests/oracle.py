@@ -36,6 +36,34 @@ def block_jacobi_smoother(a: np.ndarray, bs: int) -> np.ndarray:
     return s
 
 
+def schwarz_smoother(a: np.ndarray, p: int, hybrid: bool) -> np.ndarray:
+    """Additive / hybrid Schwarz over overlapping CG element blocks
+    (``smoother.jl:1-46``; blocks = ``A[el.nodes, el.nodes]``, factory
+    ``cg_smoother`` ``:88-139``).  Nodes are position-ordered here, so element
+    ``e`` covers nodes ``[e p, e p + p]``; overlapping contributions are summed
+    (additive) or divided by the node multiplicity (hybrid,
+    ``mCountingMatrix``)."""
+    n = a.shape[0]
+    n_el = (n - 1) // p
+    s = np.zeros_like(a)
+    mult = np.zeros(n)
+    for e in range(n_el):
+        sl = slice(e * p, e * p + p + 1)
+        s[sl, sl] += np.linalg.inv(a[sl, sl])
+        mult[sl] += 1.0
+    if hybrid:
+        s = np.diag(1.0 / mult) @ s
+    return s
+
+
+def cg_oracle_smoother(a: np.ndarray, kind: str, p: int) -> np.ndarray:
+    if kind == "jac":
+        return jacobi_smoother(a)
+    if kind in ("addSchwarz", "hybridSchwarz"):
+        return schwarz_smoother(a, p, hybrid=kind == "hybridSchwarz")
+    raise ValueError(kind)  # pragma: no cover
+
+
 class OracleLevel:
     def __init__(self, a, smoother):
         self.a = a
@@ -69,7 +97,8 @@ def build_oracle_hierarchy(spec: list[dict]) -> tuple[list[OracleLevel], list[np
                 l = np.asarray(lv["l"], dtype=np.float64)
                 a = l.T @ levels[-1].a @ l
                 transfers.append(l)
-            levels.append(OracleLevel(a, jacobi_smoother(a)))
+            kind = lv.get("smoother", "jac")
+            levels.append(OracleLevel(a, cg_oracle_smoother(a, kind, lv.get("p", 0))))
         elif lv["type"] == "block":
             bs = lv["bs"]
             m = np.asarray(lv["mass"], dtype=np.float64)

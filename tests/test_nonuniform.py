@@ -242,7 +242,11 @@ def test_switch_mixed_entrywise():
     mesh = create_graded_mesh(n, 0.0, 1.0, ratio=2.0)
     bc_nn = BoundaryCondition(("neu", 0.0), ("neu", 0.0))
     sw = (np.arange(n - 1) % 2).astype(bool)
-    g, d, _ = dg_flux_operators(make_dg_mesh(mesh, p, switch=sw), bc_nn, 0.0)
+    # the alternating pattern u-traps elements (singular scheme) — fine here,
+    # only the assembled entries are inspected, nothing is solved
+    g, d, _ = dg_flux_operators(
+        make_dg_mesh(mesh, p, switch=sw, allow_trapped=True), bc_nn, 0.0
+    )
     s1 = 1
     gl = np.asarray(g.lower)
     gdg = np.asarray(g.diag)

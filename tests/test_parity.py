@@ -64,13 +64,22 @@ def _oracle_spec(h) -> tuple[list, list]:
     """Walk a framework hierarchy, emitting the oracle's level spec with only
     discretization inputs (assembled seam G/D/C; deeper block levels get no
     operators — the oracle Galerkin-projects them itself)."""
+    from agglomerationmultigrid1d_tpu.smoothers.smoother import SchwarzSmoother
+
+    def _cg_kind(lv):
+        if isinstance(lv.smoother, SchwarzSmoother):
+            return "hybridSchwarz" if lv.smoother.mult_inv is not None else "addSchwarz"
+        return "jac"
+
     spec = []
     for k, lv in enumerate(h.levels):
         if isinstance(lv, CgLevel):
+            entry = {"type": "cg", "smoother": _cg_kind(lv), "p": lv.a.p}
             if k == 0:
-                spec.append({"type": "cg", "a": np.asarray(cg_to_dense(lv.a))})
+                entry["a"] = np.asarray(cg_to_dense(lv.a))
             else:
-                spec.append({"type": "cg", "l": _transfer_dense(h.transfers[k - 1], h.levels[k - 1])})
+                entry["l"] = _transfer_dense(h.transfers[k - 1], h.levels[k - 1])
+            spec.append(entry)
         else:
             assert isinstance(lv, BlockLevel)
             first_block = k == 0 or isinstance(h.levels[k - 1], CgLevel)
@@ -125,6 +134,15 @@ def test_parity_cg_hierarchy():
     """cf. cg_heirarchy_test.jl (4 CG levels p = 8, 4, 2, 1)."""
     it = _run_parity(poisson_cg_hierarchy(n=32))
     assert it <= 12  # regression guard on the pinned count
+
+
+@pytest.mark.parametrize("kind", ["addSchwarz", "hybridSchwarz"])
+def test_parity_cg_schwarz_hierarchy(kind):
+    """Schwarz-smoothed CG hierarchy (BASELINE parity config 2: the reference's
+    ``cg_smoother(..., :addSchwarz/:hybridSchwarz)``, ``smoother.jl:1-46,
+    :88-139``) — exact iteration-count parity against the dense oracle."""
+    it = _run_parity(poisson_cg_hierarchy(n=32, cg_smoother=kind))
+    assert it <= 12
 
 
 def test_parity_dg_hierarchy():
