@@ -49,16 +49,31 @@ def agg_flux_operators(
     g_diag = vol.copy()
     d_diag = vol.copy()
     g_lower = np.zeros((bs, bs, m))
+    g_upper = np.zeros((bs, bs, m))
+    d_lower = np.zeros((bs, bs, m))
     d_upper = np.zeros((bs, bs, m))
     c_diag = np.zeros((bs, bs, m))
 
-    # interior vertices between agglomerates c (left) and c+1 (right):
-    # u-hat = left agglomerate's right-boundary trace, q-hat = right's left trace
+    # interior vertices between agglomerates c (left) and c+1 (right), default:
+    # u-hat = left agglomerate's right-boundary trace, q-hat = right's left
+    # trace; an explicit switch (``agglomerated_dg_mesh.jl:459-487``) mirrors
+    # the couplings at flipped vertices exactly as the DG level does
     if m > 1:
-        g_lower[:, :, 1:] += np.einsum("ci,cj->ijc", bl[1:], br[:-1])
-        g_diag[:, :, :-1] -= np.einsum("ci,cj->ijc", br[:-1], br[:-1])
-        d_diag[:, :, 1:] += np.einsum("ci,cj->ijc", bl[1:], bl[1:])
-        d_upper[:, :, :-1] -= np.einsum("ci,cj->ijc", br[:-1], bl[1:])
+        sw = (
+            np.ones(m - 1)
+            if agg.u_hat_left is None
+            else np.asarray(agg.u_hat_left, dtype=np.float64)
+        )
+        fl = 1.0 - sw
+        g_lower[:, :, 1:] += sw * np.einsum("ci,cj->ijc", bl[1:], br[:-1])
+        g_diag[:, :, :-1] -= sw * np.einsum("ci,cj->ijc", br[:-1], br[:-1])
+        d_diag[:, :, 1:] += sw * np.einsum("ci,cj->ijc", bl[1:], bl[1:])
+        d_upper[:, :, :-1] -= sw * np.einsum("ci,cj->ijc", br[:-1], bl[1:])
+        if agg.u_hat_left is not None:
+            g_diag[:, :, 1:] += fl * np.einsum("ci,cj->ijc", bl[1:], bl[1:])
+            g_upper[:, :, :-1] -= fl * np.einsum("ci,cj->ijc", br[:-1], bl[1:])
+            d_diag[:, :, :-1] -= fl * np.einsum("ci,cj->ijc", br[:-1], br[:-1])
+            d_lower[:, :, 1:] += fl * np.einsum("ci,cj->ijc", bl[1:], br[:-1])
 
     bl0 = np.outer(bl[0], bl[0])
     brn = np.outer(br[-1], br[-1])
@@ -74,8 +89,12 @@ def agg_flux_operators(
         g_diag[:, :, -1] -= brn
 
     zero = jnp.zeros((bs, bs, m))
-    g = BlockTridiag(lower=jnp.asarray(g_lower), diag=jnp.asarray(g_diag), upper=zero)
-    d = BlockTridiag(lower=zero, diag=jnp.asarray(d_diag), upper=jnp.asarray(d_upper))
+    g = BlockTridiag(
+        lower=jnp.asarray(g_lower), diag=jnp.asarray(g_diag), upper=jnp.asarray(g_upper)
+    )
+    d = BlockTridiag(
+        lower=jnp.asarray(d_lower), diag=jnp.asarray(d_diag), upper=jnp.asarray(d_upper)
+    )
     c = BlockTridiag(lower=zero, diag=jnp.asarray(c_diag), upper=zero)
     return g, d, c
 

@@ -72,7 +72,12 @@ def dg_flux_operators(
     elif n > 1:
         # explicit switch (``dg_mesh.jl:114-138``): at flipped vertices u-hat
         # comes from the RIGHT element's left-endpoint trace and q-hat from the
-        # LEFT element's right-endpoint trace (mirrored couplings)
+        # LEFT element's right-endpoint trace (mirrored couplings).  This
+        # deliberately deviates from (and fixes) the reference's literal
+        # flipped-vertex behavior, which hard-codes uhatEl.mNodesInd[2] /
+        # qhatEl.mNodesInd[1] and therefore evaluates a flipped trace at the
+        # NON-shared endpoint; the shared-vertex trace used here is the
+        # consistent alternating flux.
         sw = np.asarray(dg.u_hat_left, dtype=np.float64)
         fl = 1.0 - sw
         g_lower[0, s1, 1:] += sw

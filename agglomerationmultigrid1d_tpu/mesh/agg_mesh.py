@@ -33,6 +33,7 @@ import numpy as np
 
 from ..numerics import gauss_quad, modal_basis_vals_batched
 from ..ops.block_diag import BlockDiag, bd_inverse
+from .dg_mesh import normalize_switch
 from .topology import Mesh1D
 
 
@@ -56,6 +57,12 @@ class AggMesh:
     bd_right: np.ndarray  # (m, p+1)
     mass: BlockDiag
     mass_inv: BlockDiag
+    # per-interior-vertex switch, as on DgMesh (the reference stores mSwitch on
+    # AgglomeratedDgMesh1 too, ``agglomerated_dg_mesh.jl:38,:459-487``); None =
+    # all-default "u-hat from the left agglomerate".  Only meaningful on level
+    # 1 — recursive levels never assemble flux operators (like the reference's
+    # AgglomeratedDgMeshN, which has no switch).
+    u_hat_left: np.ndarray | None = None
 
     @property
     def n_elements(self) -> int:
@@ -155,6 +162,8 @@ def make_agg_mesh(
     r_sub: int | None = None,
     sub_sizes: np.ndarray | None = None,
     tables: bool = True,
+    switch: np.ndarray | None = None,
+    allow_trapped: bool = False,
 ) -> AggMesh:
     """Build an agglomeration level directly from the base mesh geometry.
 
@@ -178,6 +187,12 @@ def make_agg_mesh(
     meshes (every derived quantity is closed-form, see ``assembly.agg_assembly``
     and ``transfer.interpolation``); keep the default for direct discretization
     use (load vectors / quadrature-based L2 errors need the tables).
+
+    ``switch`` (optional, (m - 1,) bool over interior agg vertices): the
+    explicit per-vertex switch, exactly as on :func:`make_dg_mesh` (the
+    reference stores ``mSwitch`` on ``AgglomeratedDgMesh1``,
+    ``agglomerated_dg_mesh.jl:459-487``); u-trapping patterns are rejected
+    unless ``allow_trapped``.
     """
     n_base = mesh.n_elements
     if (r_base is None) == (partition is None):
@@ -258,6 +273,7 @@ def make_agg_mesh(
         bd_right=bd_right,
         mass=mass,
         mass_inv=bd_inverse(mass),
+        u_hat_left=normalize_switch(switch, m, allow_trapped),
     )
 
 

@@ -56,6 +56,30 @@ class DgMesh:
         )
 
 
+def normalize_switch(
+    switch: np.ndarray | None, n_elements: int, allow_trapped: bool
+) -> np.ndarray | None:
+    """Validate a per-interior-vertex switch (DG or agglomerated level):
+    reject u-trapping (True, False) adjacent pairs unless ``allow_trapped``,
+    and normalize all-True (= the default rule) to ``None``."""
+    if switch is None:
+        return None
+    switch = np.asarray(switch, dtype=bool)
+    if switch.shape != (n_elements - 1,):
+        raise ValueError("switch must have one entry per interior vertex")
+    trapped = switch[:-1] & ~switch[1:]
+    if trapped.any() and not allow_trapped:
+        els = (np.nonzero(trapped)[0] + 1).tolist()
+        raise ValueError(
+            f"switch u-traps element(s) {els}: a True vertex followed by a "
+            "False vertex means neither neighbor flux reads that element's "
+            "trace, making the operator singular. Pass allow_trapped=True to "
+            "build the (singular, block-pentadiagonal) operator anyway for "
+            "analysis."
+        )
+    return None if switch.all() else switch
+
+
 def make_dg_mesh(
     mesh: Mesh1D, p: int, switch: np.ndarray | None = None, allow_trapped: bool = False
 ) -> DgMesh:
@@ -78,22 +102,7 @@ def make_dg_mesh(
     jac = jnp.asarray(mesh.jacobians)
     blocks = jnp.asarray(ref.mass)[:, :, None] * jac[None, None, :]
     mass = BlockDiag(blocks)
-    if switch is not None:
-        switch = np.asarray(switch, dtype=bool)
-        if switch.shape != (mesh.n_elements - 1,):
-            raise ValueError("switch must have one entry per interior vertex")
-        trapped = switch[:-1] & ~switch[1:]
-        if trapped.any() and not allow_trapped:
-            els = (np.nonzero(trapped)[0] + 1).tolist()
-            raise ValueError(
-                f"switch u-traps element(s) {els}: a True vertex followed by a "
-                "False vertex means neither neighbor flux reads that element's "
-                "trace, making the DG operator singular. Pass "
-                "allow_trapped=True to build the (singular, block-"
-                "pentadiagonal) operator anyway for analysis."
-            )
-        if switch.all():
-            switch = None  # identical to the default rule
+    switch = normalize_switch(switch, mesh.n_elements, allow_trapped)
     return DgMesh(
         p=p, mesh=mesh, ref=ref, mass=mass, mass_inv=bd_inverse(mass),
         u_hat_left=switch,

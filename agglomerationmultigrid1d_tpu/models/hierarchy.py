@@ -226,6 +226,7 @@ def build_hierarchy(
                 # CG -> agg seam (nDG == 0 path, mesh_heirarchy.jl:108-117)
                 l = aggdg_cg_interpolation(mesh, fine_mesh, 1)
                 g, d, c = agg_flux_operators(mesh, bc, c_dir)
+                mixed = mesh.u_hat_left is not None
             elif isinstance(fine_mesh, DgMesh):
                 l = aggdg_dg_interpolation(mesh, fine_mesh)
                 g = _block_galerkin(l, prev.g)

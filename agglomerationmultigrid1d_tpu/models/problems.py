@@ -49,6 +49,7 @@ def build_problem(
     bc: BoundaryCondition | None = None,
     mesh=None,
     to_device: bool = True,
+    agg_tables: bool = False,
 ) -> Problem:
     """Build any of the reference's hierarchy configurations from a
     :class:`~..utils.config.HierarchySpec` (the config-driven entry point; the
@@ -56,6 +57,12 @@ def build_problem(
 
     ``spec.cg_orders`` empty selects the DG-topped constructor
     (``mesh_heirarchy.jl:140-181``); otherwise the CG-topped one (``:30-138``).
+
+    Agg meshes in ``Problem.meshes`` are built *lite* (``tables=False``) by
+    default — the hierarchy's operators/transfers are closed-form and never
+    read the O(n_base) quadrature tables.  Pass ``agg_tables=True`` if the
+    returned meshes will feed quadrature-based helpers (``agg_load_vector``,
+    ``agg_flux_rhs``, ``base_jacobians``), which raise on lite meshes.
     """
     func_, u_ex, ux_ex = default_model_problem()
     func = func or func_
@@ -74,11 +81,11 @@ def build_problem(
                 meshes.append(
                     make_agg_mesh(
                         spec.p_agg, mesh,
-                        partition=_near_uniform_partition(n_base, r), tables=False,
+                        partition=_near_uniform_partition(n_base, r), tables=agg_tables,
                     )
                 )
             else:
-                meshes.append(make_agg_mesh(spec.p_agg, mesh, r, tables=False))
+                meshes.append(make_agg_mesh(spec.p_agg, mesh, r, tables=agg_tables))
         else:
             fine = meshes[-1]
             if fine.n_agg % spec.agg_factor:

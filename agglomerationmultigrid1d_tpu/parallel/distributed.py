@@ -201,6 +201,8 @@ def distributed_v_cycle(h: Hierarchy, x0, b, mesh: Mesh | None = None, fused=Fal
 
     ``fused=True`` (requires ``mesh``) routes sharded block levels through the
     shard_map fused smoother kernels — the north-star scaling path."""
+    if fused and mesh is None:
+        raise ValueError("fused=True requires mesh= (the jax.sharding.Mesh)")
     shard = fused_shard_spec(h, mesh) if fused else None
     return jax.jit(lambda hh, x, bb: v_cycle(hh, x, bb, shard=shard, **kw))(h, x0, b)
 
@@ -210,5 +212,7 @@ def distributed_multigrid(
     fused=False, **kw
 ) -> MultigridResult:
     if fused:
+        if mesh is None:
+            raise ValueError("fused=True requires mesh= (the jax.sharding.Mesh)")
         kw["shard"] = fused_shard_spec(h, mesh)
     return multigrid(h, x0, b, maxiter, tol, **kw)

@@ -150,6 +150,77 @@ def test_mixed_switch_hierarchy_rejects_truncated_a():
         build_dg_hierarchy(meshes, a_truncated, g, d, c)
 
 
+def test_agg_explicit_switch_entrywise():
+    """The agglomerated level's explicit switch (``agglomerated_dg_mesh.jl:
+    459-487``) mirrors the flux couplings exactly like the DG level: the mixed
+    operators equal the default stencil at True vertices and the uniformly
+    flipped level's stencil at False vertices (rank-1 outer products of the
+    boundary basis values)."""
+    from agglomerationmultigrid1d_tpu.assembly.agg_assembly import agg_flux_operators
+    from agglomerationmultigrid1d_tpu.mesh import make_agg_mesh
+
+    n, m = 16, 8
+    mesh = create_uniform_mesh(n, 0.0, 1.0)
+    bc = BoundaryCondition(("neu", 0.0), ("dir", 1.0))
+    sw = np.array([False] * 4 + [True] * 3)
+    agg_def = make_agg_mesh(1, mesh, 2)
+    agg_mix = make_agg_mesh(1, mesh, 2, switch=sw)
+    assert agg_mix.u_hat_left is not None
+    # all-True normalizes back to the default fast path
+    assert make_agg_mesh(1, mesh, 2, switch=np.ones(m - 1, bool)).u_hat_left is None
+    with pytest.raises(ValueError, match="u-traps"):
+        make_agg_mesh(1, mesh, 2, switch=np.array([True] * 3 + [False] * 4))
+
+    g0, d0, _ = agg_flux_operators(agg_def, bc, 100.0)
+    gm, dm, _ = agg_flux_operators(agg_mix, bc, 100.0)
+    bl, br = agg_def.bd_left, agg_def.bd_right
+    for v in range(m - 1):
+        if sw[v]:  # default couplings at this vertex
+            np.testing.assert_allclose(
+                np.asarray(gm.lower)[:, :, v + 1], np.asarray(g0.lower)[:, :, v + 1]
+            )
+            np.testing.assert_allclose(
+                np.asarray(dm.upper)[:, :, v], np.asarray(d0.upper)[:, :, v]
+            )
+            assert np.all(np.asarray(gm.upper)[:, :, v] == 0.0)
+        else:  # mirrored: u-hat from the right agglomerate, q-hat from the left
+            np.testing.assert_allclose(
+                np.asarray(gm.upper)[:, :, v], -np.outer(br[v], bl[v + 1])
+            )
+            np.testing.assert_allclose(
+                np.asarray(dm.lower)[:, :, v + 1], np.outer(bl[v + 1], br[v])
+            )
+            assert np.all(np.asarray(gm.lower)[:, :, v + 1] == 0.0)
+            assert np.all(np.asarray(dm.upper)[:, :, v] == 0.0)
+
+
+def test_agg_mixed_switch_solves_to_direct():
+    """A CG -> agg hierarchy whose agg seam has a (non-trapping) mixed switch
+    solves to the dense direct solution of its own exact operator."""
+    from agglomerationmultigrid1d_tpu.assembly.cg_assembly import cg_stiffness_and_rhs
+    from agglomerationmultigrid1d_tpu.mesh import make_agg_mesh, make_cg_mesh
+    from agglomerationmultigrid1d_tpu.models.hierarchy import build_hierarchy
+    from agglomerationmultigrid1d_tpu.models.problems import default_model_problem
+
+    n = 32
+    mesh = create_uniform_mesh(n, 0.0, 1.0)
+    bc = BoundaryCondition(("neu", 0.0), ("dir", 1.0))
+    func, _, _ = default_model_problem()
+    cg = make_cg_mesh(mesh, 1)
+    m = n // 4
+    sw = np.array([False] * (m // 2) + [True] * (m - 1 - m // 2))
+    agg = make_agg_mesh(1, mesh, 4, switch=sw, tables=False)
+    a, b = cg_stiffness_and_rhs(cg, func, bc)
+    h = build_hierarchy([cg, agg], bc, a, c_dir=1000.0 * n)
+    from agglomerationmultigrid1d_tpu.ops import BlockPenta
+
+    assert isinstance(h.levels[1].a, BlockPenta)
+    res = multigrid(h, jnp.zeros_like(b), b, 100, 1e-10, compute_error=False)
+    it = int(res.iterations)
+    nb = float(jnp.linalg.norm(b))
+    assert float(res.res_history[it - 1]) < 1e-10 * nb
+
+
 def test_mixed_switch_hierarchy_solves_to_direct():
     """A mixed-switch DG-topped hierarchy (p 3 -> 1) converges to 1e-10 and its
     solution matches the dense direct solve of the exact pentadiagonal A."""
