@@ -449,6 +449,17 @@ def iterative_smoother_solve(
 # ---------------------------------------------------------------------------
 
 
+def _ff_split_level(lv):
+    """Level operator -> float-float representation (CG band / tridiag / penta)."""
+    from ..ops.df64 import bp5_split, bt_split, cg_band_split
+
+    if isinstance(lv, CgLevel):
+        return cg_band_split(lv.a.band)
+    if isinstance(lv.a, BlockPenta):
+        return bp5_split(lv.a)
+    return bt_split(lv.a)
+
+
 def make_low_precision_hierarchy(h: Hierarchy, dtype=jnp.float32) -> Hierarchy:
     """Cast a hierarchy for use as the inner preconditioner of
     :func:`multigrid_mixed` (see ``utils.precision``)."""
@@ -824,19 +835,9 @@ def multigrid_progressive(
     reference's observability contract (``src/solvers.jl:116-139``)."""
     import numpy as np
 
-    from ..ops.df64 import bt_split, cg_band_split, ff_join, ff_split
+    from ..ops.df64 import ff_join, ff_split
 
-    if any(isinstance(lv, BlockLevel) and isinstance(lv.a, BlockPenta) for lv in h.levels):
-        raise TypeError(
-            "progressive-precision cycles have no float-float pentadiagonal "
-            "defect; mixed-switch hierarchies solve through multigrid() or "
-            "multigrid_mixed() (whose generic path evaluates the f64 defect "
-            "with level_matvec)"
-        )
-    a_ffs = tuple(
-        cg_band_split(lv.a.band) if isinstance(lv, CgLevel) else bt_split(lv.a)
-        for lv in h.levels
-    )
+    a_ffs = tuple(_ff_split_level(lv) for lv in h.levels)
     norm_b = float(jnp.linalg.norm(_flatten_level_vec(b)))
     x_ff, it, res_scaled = _progressive_loop(
         h_low, a_ffs, ff_split(x0.astype(jnp.float64)), ff_split(b),
@@ -905,7 +906,7 @@ def multigrid_mixed(
     """
     import numpy as np
 
-    from ..ops.df64 import bt_split, cg_band_split, ff_join, ff_split
+    from ..ops.df64 import ff_join, ff_split
 
     low_dtype = jax.tree_util.tree_leaves(h_low.levels[0].a)[0].dtype
     fine = h.levels[0]
@@ -913,12 +914,9 @@ def multigrid_mixed(
     err_h = np.full((maxiter,), np.nan)
     kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard)
 
-    ff_able = isinstance(fine, CgLevel) or (
-        isinstance(fine, BlockLevel) and isinstance(fine.a, BlockTridiag)
-    )
-    if ff_able and low_dtype == jnp.float32:
+    if isinstance(fine, (BlockLevel, CgLevel)) and low_dtype == jnp.float32:
         # float-float fast path: the entire refinement is one on-device program
-        a_ff = cg_band_split(fine.a.band) if isinstance(fine, CgLevel) else bt_split(fine.a)
+        a_ff = _ff_split_level(fine)
         b_ff = ff_split(b)
         x_ff = ff_split(x0.astype(jnp.float64))
         inv_nb = jnp.asarray(1.0 / norm_b, jnp.float32)
@@ -930,20 +928,11 @@ def multigrid_mixed(
         res_h = np.asarray(res_scaled, dtype=np.float64) * norm_b
         rel_out = res_h[outer_i - 1] / norm_b if outer_i > 0 else np.inf
         remaining = maxiter - max(cycles_i, outer_i)
-        all_ff_able = not any(
-            isinstance(lv, BlockLevel) and not isinstance(lv.a, BlockTridiag)
-            for lv in h.levels
-        )
-        if rel_out > tol and remaining > 0 and all_ff_able:
+        if rel_out > tol and remaining > 0:
             # the f32 inner V-cycle is not a contraction for this operator
             # (cond(A) >~ 1/eps_f32): continue with progressive-precision
             # cycles, which converge like f64 at ~f32 cost (see v_cycle_ff)
-            from ..ops.df64 import bt_split as _bts, cg_band_split as _cgs
-
-            a_ffs = tuple(
-                _cgs(lv.a.band) if isinstance(lv, CgLevel) else _bts(lv.a)
-                for lv in h.levels
-            )
+            a_ffs = tuple(_ff_split_level(lv) for lv in h.levels)
             x_ff, it2, res2 = _progressive_loop(
                 h_low, a_ffs, x_ff, b_ff, inv_nb,
                 maxiter=remaining, tol=tol, **kw,

@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .block_penta import BlockPenta
 from .block_tridiag import BlockTridiag
 from .shifts import shift
 
@@ -67,6 +68,21 @@ def bt_split(a: BlockTridiag) -> BlockTridiagFF:
         hi_parts.append(p.hi)
         lo_parts.append(p.lo)
     return BlockTridiagFF(BlockTridiag(*hi_parts), BlockTridiag(*lo_parts))
+
+
+class BlockPentaFF(NamedTuple):
+    """A block-pentadiagonal operator with float-float entries (mixed-switch
+    DG levels, see ``ops.block_penta``)."""
+
+    hi: BlockPenta  # f32
+    lo: BlockPenta  # f32
+
+
+def bp5_split(a: BlockPenta) -> BlockPentaFF:
+    parts = [ff_split(d) for d in a]
+    return BlockPentaFF(
+        BlockPenta(*(p.hi for p in parts)), BlockPenta(*(p.lo for p in parts))
+    )
 
 
 def _two_sum(a, b):
@@ -166,6 +182,18 @@ def ff_bt_defect(a: BlockTridiagFF, x: FF, b: FF) -> FF:
     return acc
 
 
+def ff_bp5_defect(a: BlockPentaFF, x: FF, b: FF) -> FF:
+    """Pentadiagonal ``r = b - A x`` in float-float (mixed-switch levels):
+    :func:`ff_bt_defect` plus the two distance-2 contractions."""
+    acc = b
+    acc = _contract_ff(a, lambda t: t.diag, x, acc, -1.0)
+    for d, sel in ((-1, lambda t: t.lower), (+1, lambda t: t.upper),
+                   (-2, lambda t: t.lower2), (+2, lambda t: t.upper2)):
+        xs = FF(shift(x.hi, d), shift(x.lo, d))
+        acc = _contract_ff(a, sel, xs, acc, -1.0)
+    return acc
+
+
 class CgBandFF(NamedTuple):
     """An assembled CG DIA band (see ops.cg_operator) with float-float entries."""
 
@@ -199,6 +227,8 @@ def ff_defect(a, x: FF, b: FF) -> FF:
     """Dispatch ``r = b - A x`` on the float-float operator type."""
     if isinstance(a, BlockTridiagFF):
         return ff_bt_defect(a, x, b)
+    if isinstance(a, BlockPentaFF):
+        return ff_bp5_defect(a, x, b)
     if isinstance(a, CgBandFF):
         return ff_cg_defect(a, x, b)
     raise TypeError(type(a))

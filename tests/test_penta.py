@@ -221,6 +221,52 @@ def test_agg_mixed_switch_solves_to_direct():
     assert float(res.res_history[it - 1]) < 1e-10 * nb
 
 
+def test_penta_ff_defect_matches_f64():
+    """Float-float pentadiagonal defect (ops/df64.py::ff_bp5_defect) is
+    ~2^-48-accurate against the f64 reference."""
+    from agglomerationmultigrid1d_tpu.ops import df64 as ff
+
+    p = bt_mul_bt_full(_random_bt(4, 300, 11), _random_bt(4, 300, 12))
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((4, 300)))
+    b = jnp.asarray(rng.standard_normal((4, 300)))
+    r64 = np.asarray(b - bp5_matvec(p, x))
+    a_ff = ff.bp5_split(p)
+    import jax
+
+    d = jax.jit(lambda A, X, B: ff.ff_defect(A, X, B))
+    r_ff = np.asarray(ff.ff_join(d(a_ff, ff.ff_split(x), ff.ff_split(b))))
+    scale = np.abs(r64).max() + np.abs(np.asarray(b)).max()
+    assert np.abs(r_ff - r64).max() < 1e-12 * scale
+
+
+def test_mixed_switch_progressive_and_mixed_solvers():
+    """The float-float mixed and progressive solvers handle a pentadiagonal
+    (mixed-switch) fine level end-to-end."""
+    from agglomerationmultigrid1d_tpu.models.problems import default_model_problem
+    from agglomerationmultigrid1d_tpu.models.solvers import (
+        make_low_precision_hierarchy,
+        multigrid_mixed,
+        multigrid_progressive,
+    )
+    from agglomerationmultigrid1d_tpu.ops import bt_matvec
+
+    mesh, dg, bc, c_dir, g, d, c = _mixed_problem()
+    a = schur_stiffness(g, d, c, dg.mass_inv, mixed_switch=True)
+    meshes = [dg, make_dg_mesh(mesh, 1, switch=dg.u_hat_left)]
+    h = build_dg_hierarchy(meshes, a, g, d, c)
+    h32 = make_low_precision_hierarchy(h)
+    func, _, _ = default_model_problem()
+    f, r = dg_flux_rhs(dg, func, bc, c_dir)
+    b = f - bt_matvec(d, bd_matvec(dg.mass_inv, r))
+    nb = float(jnp.linalg.norm(b.T.reshape(-1)))
+
+    for solver in (multigrid_mixed, multigrid_progressive):
+        res = solver(h, h32, jnp.zeros_like(b), b, 80, 1e-10, use_pallas=False)
+        it = int(res.iterations)
+        assert float(res.res_history[it - 1]) < 1e-10 * nb, solver.__name__
+
+
 def test_mixed_switch_hierarchy_solves_to_direct():
     """A mixed-switch DG-topped hierarchy (p 3 -> 1) converges to 1e-10 and its
     solution matches the dense direct solve of the exact pentadiagonal A."""
