@@ -30,7 +30,14 @@ from ..mesh.cg_mesh import CgMesh
 from ..mesh.dg_mesh import DgMesh
 from ..mesh.topology import BoundaryCondition
 from ..ops.block_diag import BlockDiag
-from ..ops.block_tridiag import BlockTridiag, bd_mul_bt, bt_mul_bt, bt_sub, bt_to_dense
+from ..ops.block_tridiag import (
+    BlockTridiag,
+    bd_mul_bt,
+    block_mul,
+    bt_mul_bt,
+    bt_sub,
+    bt_to_dense,
+)
 from ..ops.cg_operator import CgOperator, cg_to_dense
 from ..ops.coarse_solve import CoarseSolver, make_coarse_solver
 from ..ops.transfer_ops import (
@@ -323,6 +330,36 @@ def strip_hierarchy(h: Hierarchy) -> Hierarchy:
         transfers=h.transfers,
         coarse=h.coarse,
     )
+
+
+def prepare_fast_smoothers(h: Hierarchy) -> Hierarchy:
+    """Populate the M-form streams (``ml = S^-1 A_lower``, ``mu = S^-1 A_upper``)
+    on every f32 block-tridiagonal level's block-Jacobi smoother.
+
+    The fused Pallas multisweep kernels run in M-form (see
+    ``ops.pallas.block_kernels``); without these cached streams they recompute
+    the two batched einsums on every call.  ``dg_smoother`` fills them for
+    levels built directly in f32; this pass covers hierarchies built in f64
+    parity precision and then cast (``make_low_precision_hierarchy`` calls it
+    automatically)."""
+    from ..smoothers.smoother import BlockJacobiSmoother, ChebyshevSmoother
+
+    def fix(lv):
+        if not isinstance(lv, BlockLevel) or not isinstance(lv.a, BlockTridiag):
+            return lv
+        if lv.a.diag.dtype != jnp.float32:
+            return lv
+        s = lv.smoother
+        base = s.base if isinstance(s, ChebyshevSmoother) else s
+        if not isinstance(base, BlockJacobiSmoother) or base.ml is not None:
+            return lv
+        ml = block_mul(base.inv, lv.a.lower)
+        mu = block_mul(base.inv, lv.a.upper)
+        nb = base._replace(ml=ml, mu=mu)
+        ns = s._replace(base=nb) if isinstance(s, ChebyshevSmoother) else nb
+        return lv._replace(smoother=ns)
+
+    return h._replace(levels=tuple(fix(lv) for lv in h.levels))
 
 
 def chebyshev_hierarchy(

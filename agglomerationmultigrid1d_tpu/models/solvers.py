@@ -151,13 +151,15 @@ def _smooth_cheb(level, u, rhs, degree, use_pallas, emit_residual=False, shard=N
         return sharded_chebyshev_multisweep(
             shard[0], shard[1], level.a, s.base.inv, u, rhs, coef,
             degree=degree, emit_residual=emit_residual, use_pallas=use_pallas,
+            ml=s.base.ml, mu=s.base.mu,
         )
     if _cheb_pallas_ok(level, u, use_pallas):
         from ..ops.pallas import chebyshev_coefficients, pallas_chebyshev_multisweep
 
         coef = chebyshev_coefficients(s.lam_lo, s.lam_hi, degree)
         return pallas_chebyshev_multisweep(
-            level.a, s.base.inv, u, rhs, coef, degree, emit_residual=emit_residual
+            level.a, s.base.inv, u, rhs, coef, degree, emit_residual=emit_residual,
+            ml=s.base.ml, mu=s.base.mu,
         )
 
     theta = 0.5 * (s.lam_hi + s.lam_lo)
@@ -203,12 +205,14 @@ def _smooth_n(level, u, rhs, n_sweeps, alpha, use_pallas, shard=None):
         return sharded_multisweep(
             shard[0], shard[1], level.a, level.smoother.inv, u, rhs,
             n_sweeps=n_sweeps, alpha=alpha, use_pallas=use_pallas,
+            ml=level.smoother.ml, mu=level.smoother.mu,
         )
     if _pallas_smooth_ok(level, u, use_pallas):
         from ..ops.pallas import pallas_block_jacobi_multisweep
 
         return pallas_block_jacobi_multisweep(
-            level.a, level.smoother.inv, u, rhs, n_sweeps=n_sweeps, alpha=alpha
+            level.a, level.smoother.inv, u, rhs, n_sweeps=n_sweeps, alpha=alpha,
+            ml=level.smoother.ml, mu=level.smoother.mu,
         )
     for _ in range(n_sweeps):
         u = u + apply_smoother(level.smoother, rhs - level_matvec(level, u), alpha=alpha)
@@ -235,12 +239,14 @@ def _smooth_n_residual(level, u, rhs, n_sweeps, alpha, use_pallas, shard=None):
         return sharded_multisweep(
             shard[0], shard[1], level.a, level.smoother.inv, u, rhs,
             n_sweeps=n_sweeps, alpha=alpha, emit_residual=True, use_pallas=use_pallas,
+            ml=level.smoother.ml, mu=level.smoother.mu,
         )
     if _pallas_smooth_ok(level, u, use_pallas):
         from ..ops.pallas import pallas_block_jacobi_multisweep_residual
 
         return pallas_block_jacobi_multisweep_residual(
-            level.a, level.smoother.inv, u, rhs, n_sweeps=n_sweeps, alpha=alpha
+            level.a, level.smoother.inv, u, rhs, n_sweeps=n_sweeps, alpha=alpha,
+            ml=level.smoother.ml, mu=level.smoother.mu,
         )
     u = _smooth_n(level, u, rhs, n_sweeps, alpha, use_pallas)
     return u, rhs - _level_matvec_opt(level, u, use_pallas)
@@ -462,10 +468,16 @@ def _ff_split_level(lv):
 
 def make_low_precision_hierarchy(h: Hierarchy, dtype=jnp.float32) -> Hierarchy:
     """Cast a hierarchy for use as the inner preconditioner of
-    :func:`multigrid_mixed` (see ``utils.precision``)."""
+    :func:`multigrid_mixed` (see ``utils.precision``), and populate the cached
+    M-form smoother streams the fused Pallas kernels read
+    (:func:`..models.hierarchy.prepare_fast_smoothers`)."""
     from ..utils.precision import hierarchy_astype
+    from .hierarchy import prepare_fast_smoothers
 
-    return hierarchy_astype(h, dtype)
+    hl = hierarchy_astype(h, dtype)
+    if dtype == jnp.float32:
+        hl = prepare_fast_smoothers(hl)
+    return hl
 
 
 @jax.jit

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..block_tridiag import BlockTridiag, bt_matvec
+from ..block_tridiag import BlockTridiag, block_mul, bt_matvec
 
 try:  # x64 tracing poisons Mosaic with i64 scalars (kernels are f32-only anyway)
     from jax._src.config import enable_x64 as _enable_x64
@@ -148,7 +148,7 @@ def pallas_bt_matvec(a: BlockTridiag, x: jax.Array, interpret: bool = False) -> 
 
 
 # ---------------------------------------------------------------------------
-# Temporally-fused multi-sweep kernel
+# Temporally-fused multi-sweep kernel (damped-Jacobi M-form)
 # ---------------------------------------------------------------------------
 #
 # The V-cycle applies nPre (= 3) smoother sweeps back to back.  Each sweep is
@@ -157,6 +157,26 @@ def pallas_bt_matvec(a: BlockTridiag, x: jax.Array, interpret: bool = False) -> 
 # blocking) — multiplies the effective sweep throughput by ~k.  After sweep s
 # only the inner T + 2(h - s) columns of the widened tile are valid; with halo
 # h >= k the written center T columns are exact.
+#
+# The sweeps run in *M-form*: because the block-Jacobi smoother S is exactly
+# the block diagonal of A (S^-1 A_D = I by construction), the damped sweep
+#
+#     x' = x + alpha S^-1 (b - A x)
+#        = x + alpha * (c - x - ML x_{-1} - MU x_{+1}),
+#
+# with  c  = S^-1 b        (sweep-invariant, computed once per launch),
+#       ML = S^-1 A_lower, MU = S^-1 A_upper   (precomputed at setup).
+#
+# vs. the naive formulation this drops one operator stream (3 instead of 4:
+# 240 B/block instead of 304) AND halves the per-sweep block contractions
+# (8 FMAs instead of 16: the diagonal term is the identity) — both the HBM
+# floor and the VPU time of the temporally-blocked pass improve.  The
+# restrict-side residual (emit_residual) streams A_D additionally and uses
+# A x = A_D (x + ML x_{-1} + MU x_{+1}).
+#
+# REQUIREMENT: ``s_inv`` must be the exact inverse of ``a.diag`` (what
+# ``smoothers.dg_smoother(a, "blockJac")`` produces).  A mismatched
+# preconditioner would silently smooth with S = A_D regardless.
 
 
 def _seg_ops(gops, gvec, op_tiles, xc, xl, xr, bc, bl, br, i, ni, halo):
@@ -196,8 +216,13 @@ def _seg_apply(op_segs, xw, bs, halo, tile):
     )
 
 
-def _seg_residual(ad, al, au, xw, bw, col, bs, halo, tile, w):
-    """(rL, rC, rR) = segments of b - A x on the widened window.  The outermost
+def _seg_cat(op_segs, xw, bs, halo, tile):
+    """Segmented operator application, re-concatenated to the widened shape."""
+    return jnp.concatenate(_seg_apply(op_segs, xw, bs, halo, tile), axis=-1)
+
+
+def _wide_shift(xw, col, w):
+    """Zero-padded +-1 column shifts of the widened iterate.  The outermost
     window columns use a zero (wrapped-and-masked) neighbor — corrupted by
     design; corruption moves one column inward per sweep, so the center stays
     exact for n_sweeps <= halo."""
@@ -205,64 +230,71 @@ def _seg_residual(ad, al, au, xw, bw, col, bs, halo, tile, w):
     xm = jnp.where(col == 0, 0.0, xm)
     xp = pltpu.roll(xw, jnp.int32(w - 1), axis=1)
     xp = jnp.where(col == w - 1, 0.0, xp)
-    td = _seg_apply(ad, xw, bs, halo, tile)
-    tl = _seg_apply(al, xm, bs, halo, tile)
-    tu = _seg_apply(au, xp, bs, halo, tile)
-    bL, bC, bR = bw[:, 0:halo], bw[:, halo : halo + tile], bw[:, halo + tile :]
-    return (
-        bL - td[0] - tl[0] - tu[0],
-        bC - td[1] - tl[1] - tu[1],
-        bR - td[2] - tl[2] - tu[2],
+    return xm, xp
+
+
+def _seg_offdiag(ml, mu, xw, col, bs, halo, tile, w):
+    """``ML x_{-1} + MU x_{+1}`` on the widened window, segment-wise."""
+    xm, xp = _wide_shift(xw, col, w)
+    l = _seg_apply(ml, xm, bs, halo, tile)
+    u = _seg_apply(mu, xp, bs, halo, tile)
+    return jnp.concatenate([l[0] + u[0], l[1] + u[1], l[2] + u[2]], axis=-1)
+
+
+def _center_residual(ml, mu, ad, xw, bw, col, bs, halo, tile, w):
+    """Center-tile residual ``b - A_D (x + ML x_{-1} + MU x_{+1})`` — only the
+    written columns need it, so only the center segment is contracted."""
+    xm, xp = _wide_shift(xw, col, w)
+    ctr = slice(halo, halo + tile)
+    t = (
+        xw[:, ctr]
+        + _mat(ml[1], xm[:, ctr], bs)
+        + _mat(mu[1], xp[:, ctr], bs)
     )
+    return bw[:, ctr] - _mat(ad[1], t, bs)
 
 
 def _wide_sweep_kernel(
-    gops, gvec,
-    adc, adl, adr, alc, all_, alr, auc, aul, aur, bic, bil, bir,
-    xc, xl, xr, bc, bl, br, *outs, alpha, bs, n_sweeps, halo, tile,
-    emit_residual=False,
+    gops, gvec, *refs, alpha, bs, n_sweeps, halo, tile, emit_residual=False,
 ):
-    """Temporally-blocked multisweep, segment-wise (see :func:`_seg_ops`).
+    """Temporally-blocked M-form multisweep, segment-wise (see :func:`_seg_ops`).
+
+    ``refs`` = 3 segments each of (ML, MU, S^-1 [, A_D if emit_residual]),
+    then x, b segments, then the output ref(s).
 
     ``gops``/``gvec`` are *shard ghosts*: ``gops[s, :, :, :halo]`` is the left
-    neighbor shard's last ``halo`` operator columns for stream s (diag, lower,
-    upper, binv) and ``[..., halo:]`` the right neighbor's first columns;
+    neighbor shard's last ``halo`` operator columns for stream s (ML, MU,
+    S^-1 [, A_D]) and ``[..., halo:]`` the right neighbor's first columns;
     ``gvec[0/1]`` likewise for x and b.  Zero ghosts reproduce the global
-    zero-Dirichlet boundary exactly (residual, update and iterate all vanish in
-    the ghost region), so the single-device path passes zeros; under
-    ``shard_map`` the wrapper fills them with one ``ppermute`` per side and the
-    center ``tile`` columns are exact for ``n_sweeps <= halo``.
+    zero-Dirichlet boundary exactly (c, the off-diagonal term and the iterate
+    all vanish in the ghost region), so the single-device path passes zeros;
+    under ``shard_map`` the wrapper fills them with one ``ppermute`` per side
+    and the center ``tile`` columns are exact for ``n_sweeps <= halo``.
     """
     i = pl.program_id(0)
     ni = pl.num_programs(0)
     w = tile + 2 * halo
+    n_ops = 4 if emit_residual else 3
+    op_refs = [tuple(refs[3 * s : 3 * s + 3]) for s in range(n_ops)]
+    xc, xl, xr, bc, bl, br = refs[3 * n_ops : 3 * n_ops + 6]
+    outs = refs[3 * n_ops + 6 :]
 
-    (ad, al, au, bi), xw, bw = _seg_ops(
-        gops, gvec,
-        [(adc, adl, adr), (alc, all_, alr), (auc, aul, aur), (bic, bil, bir)],
-        xc, xl, xr, bc, bl, br, i, ni, halo,
-    )
+    segs, xw, bw = _seg_ops(gops, gvec, op_refs, xc, xl, xr, bc, bl, br, i, ni, halo)
+    ml, mu, si = segs[0], segs[1], segs[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (bs, w), 1)
 
+    cw = _seg_cat(si, bw, bs, halo, tile)  # c = S^-1 b, once per launch
     for _ in range(n_sweeps):
-        rL, rC, rR = _seg_residual(ad, al, au, xw, bw, col, bs, halo, tile, w)
-        xw = jnp.concatenate(
-            [
-                xw[:, 0:halo] + alpha * _mat(bi[0], rL, bs),
-                xw[:, halo : halo + tile] + alpha * _mat(bi[1], rC, bs),
-                xw[:, halo + tile :] + alpha * _mat(bi[2], rR, bs),
-            ],
-            axis=-1,
-        )
+        t = _seg_offdiag(ml, mu, xw, col, bs, halo, tile, w)
+        xw = xw + alpha * (cw - xw - t)
 
     outs[0][...] = xw[:, halo : halo + tile]
     if emit_residual:
-        # A is already resident: one more in-register residual saves the
-        # separate full-HBM-pass matvec of the V-cycle's restrict step.
+        # A_D/ML/MU are already resident: one more in-register residual saves
+        # the separate full-HBM-pass matvec of the V-cycle's restrict step.
         # After n_sweeps the widened iterate is valid on [n_sweeps, w - n_sweeps),
         # so the center residual (needing +-1 columns) is exact for halo > n_sweeps.
-        _, rC, _ = _seg_residual(ad, al, au, xw, bw, col, bs, halo, tile, w)
-        outs[1][...] = rC
+        outs[1][...] = _center_residual(ml, mu, segs[3], xw, bw, col, bs, halo, tile, w)
 
 
 def _halo_specs(bs: int, tile: int, halo: int):
@@ -291,44 +323,43 @@ def _halo_specs(bs: int, tile: int, halo: int):
 
 
 def _wide_cheb_kernel(
-    coef, gops, gvec,
-    adc, adl, adr, alc, all_, alr, auc, aul, aur, bic, bil, bir,
-    xc, xl, xr, bc, bl, br, *outs, bs, degree, halo, tile, emit_residual=False,
+    coef, gops, gvec, *refs, bs, degree, halo, tile, emit_residual=False,
 ):
-    """Temporally-blocked Chebyshev smoothing: all ``degree`` steps of the
-    three-term recurrence in one HBM pass (same widened-tile validity argument
-    as ``_wide_sweep_kernel``; each step consumes one halo column per side).
+    """Temporally-blocked M-form Chebyshev smoothing: all ``degree`` steps of
+    the three-term recurrence in one HBM pass (same widened-tile validity
+    argument as ``_wide_sweep_kernel``; each step consumes one halo column per
+    side).
 
     ``coef`` is a (degree, 2) SMEM array: step i does
-    ``z = Binv (b - A x); d = coef[i,0] * d + coef[i,1] * z; x += d``.
-    ``gops``/``gvec`` are the shard ghosts (see ``_wide_sweep_kernel``); note
-    the Chebyshev correction ``d`` starts at zero in the ghost region, matching
-    the neighbor's own recurrence exactly (d is a pure function of the initial
-    x/b in the +-degree neighborhood, which the ghosts supply)."""
+    ``z = S^-1 (b - A x) = c - x - ML x_{-1} - MU x_{+1};
+    d = coef[i,0] * d + coef[i,1] * z; x += d``  (S = A_D exactly — see the
+    module-level M-form note).  ``refs`` layout and ``gops``/``gvec`` as in
+    ``_wide_sweep_kernel``; note the Chebyshev correction ``d`` starts at zero
+    in the ghost region, matching the neighbor's own recurrence exactly (d is
+    a pure function of the initial x/b in the +-degree neighborhood, which the
+    ghosts supply)."""
     i = pl.program_id(0)
     ni = pl.num_programs(0)
     w = tile + 2 * halo
+    n_ops = 4 if emit_residual else 3
+    op_refs = [tuple(refs[3 * s : 3 * s + 3]) for s in range(n_ops)]
+    xc, xl, xr, bc, bl, br = refs[3 * n_ops : 3 * n_ops + 6]
+    outs = refs[3 * n_ops + 6 :]
 
-    (ad, al, au, bi), xw, bw = _seg_ops(
-        gops, gvec,
-        [(adc, adl, adr), (alc, all_, alr), (auc, aul, aur), (bic, bil, bir)],
-        xc, xl, xr, bc, bl, br, i, ni, halo,
-    )
+    segs, xw, bw = _seg_ops(gops, gvec, op_refs, xc, xl, xr, bc, bl, br, i, ni, halo)
+    ml, mu, si = segs[0], segs[1], segs[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (bs, w), 1)
 
+    cw = _seg_cat(si, bw, bs, halo, tile)  # c = S^-1 b, once per launch
     d = jnp.zeros_like(xw)
     for s in range(degree):
-        rL, rC, rR = _seg_residual(ad, al, au, xw, bw, col, bs, halo, tile, w)
-        z = jnp.concatenate(
-            [_mat(bi[0], rL, bs), _mat(bi[1], rC, bs), _mat(bi[2], rR, bs)], axis=-1
-        )
+        z = cw - xw - _seg_offdiag(ml, mu, xw, col, bs, halo, tile, w)
         d = coef[s, 0] * d + coef[s, 1] * z
         xw = xw + d
 
     outs[0][...] = xw[:, halo : halo + tile]
     if emit_residual:
-        _, rC, _ = _seg_residual(ad, al, au, xw, bw, col, bs, halo, tile, w)
-        outs[1][...] = rC
+        outs[1][...] = _center_residual(ml, mu, segs[3], xw, bw, col, bs, halo, tile, w)
 
 
 def chebyshev_coefficients(lam_lo, lam_hi, degree: int):
@@ -361,11 +392,23 @@ def multisweep_shapes_ok(bs: int, n: int, dtype, n_steps: int) -> bool:
     )
 
 
-def _zero_ghosts(bs: int, halo: int, dtype):
+def _zero_ghosts(bs: int, halo: int, dtype, n_ops: int):
     return (
-        jnp.zeros((4, bs, bs, 2 * halo), dtype),
+        jnp.zeros((n_ops, bs, bs, 2 * halo), dtype),
         jnp.zeros((2, bs, 2 * halo), dtype),
     )
+
+
+def _mform_ops(a: BlockTridiag, s_inv: jax.Array, ml, mu):
+    """``ML = S^-1 A_lower``, ``MU = S^-1 A_upper`` — precomputed at setup by
+    ``smoothers.dg_smoother`` / ``hierarchy.prepare_fast_smoothers`` and passed
+    through; computed on the fly (one batched einsum each per call) only when a
+    caller doesn't supply them."""
+    if ml is None:
+        ml = block_mul(s_inv, a.lower)
+    if mu is None:
+        mu = block_mul(s_inv, a.upper)
+    return ml, mu
 
 
 def _ghost_specs():
@@ -379,14 +422,17 @@ def _ghost_specs():
 def pallas_chebyshev_multisweep(
     a: BlockTridiag, s_inv: jax.Array, x: jax.Array, b: jax.Array, coef: jax.Array,
     degree: int = 3, interpret: bool = False, emit_residual: bool = False,
-    ghosts=None,
+    ghosts=None, ml=None, mu=None,
 ):
     """All ``degree`` Chebyshev smoothing steps fused into one HBM pass
     (optionally also emitting ``r = b - A x_new``).  ``coef`` from
-    :func:`chebyshev_coefficients`.  Falls back to an unfused XLA recurrence
-    for awkward shapes/dtypes.  ``ghosts = (gops, gvec)`` supplies neighbor
-    shard columns under ``shard_map`` (see ``_wide_sweep_kernel``); the
-    fallback path is only valid for ``ghosts=None`` (global arrays)."""
+    :func:`chebyshev_coefficients`.  ``s_inv`` must be the exact inverse of
+    ``a.diag`` (the kernel runs in M-form — see the module note); ``ml``/``mu``
+    are the precomputed ``S^-1 A_lower`` / ``S^-1 A_upper`` streams.  Falls
+    back to an unfused XLA recurrence for awkward shapes/dtypes.
+    ``ghosts = (gops, gvec)`` supplies neighbor shard columns under
+    ``shard_map`` (see ``_wide_sweep_kernel``); the fallback path is only
+    valid for ``ghosts=None`` (global arrays)."""
     bs, _, n = a.diag.shape
     halo = 128
     tile = _pick_tile(bs, n, x.dtype)
@@ -412,12 +458,14 @@ def pallas_chebyshev_multisweep(
             return x, b - bt_matvec(a, x)
         return x
 
-    gops, gvec = _zero_ghosts(bs, halo, x.dtype) if ghosts is None else ghosts
+    ml, mu = _mform_ops(a, s_inv, ml, mu)
+    ops = (ml, mu, s_inv) + ((a.diag,) if emit_residual else ())
+    gops, gvec = _zero_ghosts(bs, halo, x.dtype, len(ops)) if ghosts is None else ghosts
     (m_c, m_l, m_r), (v_c, v_l, v_r) = _halo_specs(bs, tile, halo)
     g_ops_spec, g_vec_spec = _ghost_specs()
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM), g_ops_spec, g_vec_spec]
-        + [m_c, m_l, m_r] * 4
+        + [m_c, m_l, m_r] * len(ops)
         + [v_c, v_l, v_r] * 2
     )
     kernel = functools.partial(
@@ -425,7 +473,7 @@ def pallas_chebyshev_multisweep(
         emit_residual=emit_residual,
     )
     args = [coef, gops, gvec]
-    for arr in (a.diag, a.lower, a.upper, s_inv):
+    for arr in ops:
         args += [arr, arr, arr]
     args += [x, x, x, b, b, b]
     shape = jax.ShapeDtypeStruct((bs, n), x.dtype)
@@ -447,23 +495,32 @@ def pallas_chebyshev_multisweep(
 def pallas_block_jacobi_multisweep(
     a: BlockTridiag, s_inv: jax.Array, x: jax.Array, b: jax.Array,
     n_sweeps: int = 3, alpha: float = 2.0 / 3.0, interpret: bool = False,
+    ml=None, mu=None,
 ) -> jax.Array:
-    """k fused damped block-Jacobi sweeps in one HBM pass (k <= 8)."""
-    return _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, False)
+    """k fused damped block-Jacobi sweeps in one HBM pass (k <= 8).
+
+    ``s_inv`` must be the exact inverse of ``a.diag`` (M-form — see the module
+    note); pass the setup-time ``ml``/``mu`` streams to avoid two per-call
+    batched einsums."""
+    return _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, False,
+                            ml=ml, mu=mu)
 
 
 @functools.partial(jax.jit, static_argnames=("alpha", "n_sweeps", "interpret"))
 def pallas_block_jacobi_multisweep_residual(
     a: BlockTridiag, s_inv: jax.Array, x: jax.Array, b: jax.Array,
     n_sweeps: int = 3, alpha: float = 2.0 / 3.0, interpret: bool = False,
+    ml=None, mu=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Like :func:`pallas_block_jacobi_multisweep` but also returns
     ``r = b - A x_new`` computed in the same pass (the operator tiles are
     already in VMEM), saving the V-cycle's separate restrict-side matvec."""
-    return _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, True)
+    return _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, True,
+                            ml=ml, mu=mu)
 
 
-def _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, emit_residual, ghosts=None):
+def _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, emit_residual,
+                     ghosts=None, ml=None, mu=None):
     bs, _, n = a.diag.shape
     halo = 128  # last-dim block sizes must be multiples of 128 on TPU
     tile = _pick_tile(bs, n, x.dtype)
@@ -488,12 +545,14 @@ def _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, emit_residual, 
             return x, b - bt_matvec(a, x)
         return x
 
-    gops, gvec = _zero_ghosts(bs, halo, x.dtype) if ghosts is None else ghosts
+    ml, mu = _mform_ops(a, s_inv, ml, mu)
+    ops = (ml, mu, s_inv) + ((a.diag,) if emit_residual else ())
+    gops, gvec = _zero_ghosts(bs, halo, x.dtype, len(ops)) if ghosts is None else ghosts
     (m_c, m_l, m_r), (v_c, v_l, v_r) = _halo_specs(bs, tile, halo)
     g_ops_spec, g_vec_spec = _ghost_specs()
     in_specs = (
         [g_ops_spec, g_vec_spec]
-        + [m_c, m_l, m_r] * 4  # ad, al, au, binv
+        + [m_c, m_l, m_r] * len(ops)  # ml, mu, s_inv [, ad]
         + [v_c, v_l, v_r] * 2  # x, b
     )
     kernel = functools.partial(
@@ -501,7 +560,7 @@ def _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, emit_residual, 
         emit_residual=emit_residual,
     )
     args = [gops, gvec]
-    for arr in (a.diag, a.lower, a.upper, s_inv):
+    for arr in ops:
         args += [arr, arr, arr]
     args += [x, x, x, b, b, b]
     shape = jax.ShapeDtypeStruct((bs, n), x.dtype)

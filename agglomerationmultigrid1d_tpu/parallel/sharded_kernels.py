@@ -5,9 +5,10 @@ temporally-blocked multisweep kernel (``ops.pallas.block_kernels``) to run on
 each device's local shard with real neighbor data, not the XLA einsum path.
 The recipe per smoother application:
 
-1. exchange one kernel-halo (128 columns) of x, b and the four operator
-   streams with the two ring neighbors via ``lax.ppermute`` (devices without a
-   source keep zeros — exactly the global boundary);
+1. exchange one kernel-halo (128 columns) of x, b and the kernel's operator
+   streams (M-form: ml, mu, s_inv [, diag]) with the two ring neighbors via
+   ``lax.ppermute`` (devices without a source keep zeros — exactly the global
+   boundary);
 2. run the widened-tile multisweep on the local shard, passing the ghosts into
    the kernel (``_wide_sweep_kernel``'s ``gops``/``gvec``), so the center
    columns are exact for ``n_sweeps <= 128``;
@@ -31,7 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from ..ops.block_tridiag import BlockTridiag
+from ..ops.block_tridiag import BlockTridiag, block_mul
 from ..ops.pallas.block_kernels import (
     _multisweep_impl,
     multisweep_shapes_ok,
@@ -56,8 +57,10 @@ def _edge_ghosts(arr: jax.Array, axis: str) -> jax.Array:
     return jnp.concatenate([left, right], axis=-1)
 
 
-def _gather_ghosts(ad, al, au, binv, x, b, axis):
-    gops = jnp.stack([_edge_ghosts(m, axis) for m in (ad, al, au, binv)])
+def _gather_ghosts(ops, x, b, axis):
+    """Exchange ghosts for exactly the operator streams the kernel reads
+    (M-form: ml, mu, s_inv [, a.diag for emit_residual])."""
+    gops = jnp.stack([_edge_ghosts(m, axis) for m in ops])
     gvec = jnp.stack([_edge_ghosts(x, axis), _edge_ghosts(b, axis)])
     return gops, gvec
 
@@ -70,14 +73,17 @@ def _halo_matvec(ad, al, au, x, axis):
 
 
 def _local_multisweep(
-    ad, al, au, binv, x, b, *, axis, n_sweeps, alpha, emit_residual, use_pallas, interpret
+    ad, al, au, binv, ml, mu, x, b,
+    *, axis, n_sweeps, alpha, emit_residual, use_pallas, interpret,
 ):
     bs, n_local = x.shape
     if use_pallas and n_local >= 2 * HALO and multisweep_shapes_ok(bs, n_local, x.dtype, n_sweeps):
-        ghosts = _gather_ghosts(ad, al, au, binv, x, b, axis)
+        ops = (ml, mu, binv) + ((ad,) if emit_residual else ())
+        ghosts = _gather_ghosts(ops, x, b, axis)
         a = BlockTridiag(lower=al, diag=ad, upper=au)
         return _multisweep_impl(
-            a, binv, x, b, n_sweeps, alpha, interpret, emit_residual, ghosts=ghosts
+            a, binv, x, b, n_sweeps, alpha, interpret, emit_residual,
+            ghosts=ghosts, ml=ml, mu=mu,
         )
     # halo-aware XLA fallback (f64 parity runs / awkward local shapes)
     for _ in range(n_sweeps):
@@ -89,15 +95,18 @@ def _local_multisweep(
 
 
 def _local_cheb(
-    coef, ad, al, au, binv, x, b, *, axis, degree, emit_residual, use_pallas, interpret
+    coef, ad, al, au, binv, ml, mu, x, b,
+    *, axis, degree, emit_residual, use_pallas, interpret,
 ):
     bs, n_local = x.shape
     if use_pallas and n_local >= 2 * HALO and multisweep_shapes_ok(bs, n_local, x.dtype, degree):
-        ghosts = _gather_ghosts(ad, al, au, binv, x, b, axis)
+        ops = (ml, mu, binv) + ((ad,) if emit_residual else ())
+        ghosts = _gather_ghosts(ops, x, b, axis)
         a = BlockTridiag(lower=al, diag=ad, upper=au)
         return pallas_chebyshev_multisweep(
             a, binv, x, b, coef, degree,
             interpret=interpret, emit_residual=emit_residual, ghosts=ghosts,
+            ml=ml, mu=mu,
         )
     cf = coef.astype(x.dtype)
     d = jnp.zeros_like(x)
@@ -110,6 +119,20 @@ def _local_cheb(
     if emit_residual:
         return x, b - _halo_matvec(ad, al, au, x, axis)
     return x
+
+
+def _wrapper_mform(a, s_inv, ml, mu, use_pallas, dtype):
+    """Fill the M-form streams when the Pallas path can use them; on paths that
+    can never take the kernel (f64 parity / use_pallas=False) pass inert
+    aliases instead — shard_map needs array args, and an alias of ``a.diag``
+    costs no memory or traffic."""
+    if use_pallas and dtype == jnp.float32:
+        if ml is None:
+            ml = block_mul(s_inv, a.lower)
+        if mu is None:
+            mu = block_mul(s_inv, a.upper)
+        return ml, mu
+    return (ml if ml is not None else a.diag), (mu if mu is not None else a.diag)
 
 
 def sharded_multisweep(
@@ -125,10 +148,15 @@ def sharded_multisweep(
     emit_residual: bool = False,
     use_pallas: bool = True,
     interpret: bool = False,
+    ml=None,
+    mu=None,
 ):
     """``n_sweeps`` fused damped block-Jacobi sweeps on an element-sharded
     operator: the Pallas multisweep per shard + one 128-column ppermute halo
-    per side (optionally also emitting ``r = b - A x_new``)."""
+    per side (optionally also emitting ``r = b - A x_new``).  ``ml``/``mu``
+    are the setup-time M-form streams (``S^-1 A_lower/upper``); computed here
+    (sharded, elementwise — no communication) when not supplied."""
+    ml, mu = _wrapper_mform(a, s_inv, ml, mu, use_pallas, x.dtype)
     m = P(None, None, axis)
     v = P(None, axis)
     fn = functools.partial(
@@ -138,10 +166,10 @@ def sharded_multisweep(
     )
     return jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(m, m, m, m, v, v),
+        in_specs=(m, m, m, m, m, m, v, v),
         out_specs=(v, v) if emit_residual else v,
         check_vma=False,  # pallas_call out_shapes carry no vma annotation
-    )(a.diag, a.lower, a.upper, s_inv, x, b)
+    )(a.diag, a.lower, a.upper, s_inv, ml, mu, x, b)
 
 
 def sharded_chebyshev_multisweep(
@@ -157,8 +185,11 @@ def sharded_chebyshev_multisweep(
     emit_residual: bool = False,
     use_pallas: bool = True,
     interpret: bool = False,
+    ml=None,
+    mu=None,
 ):
     """Degree-``degree`` Chebyshev smoothing, sharded (see sharded_multisweep)."""
+    ml, mu = _wrapper_mform(a, s_inv, ml, mu, use_pallas, x.dtype)
     m = P(None, None, axis)
     v = P(None, axis)
     fn = functools.partial(
@@ -168,7 +199,7 @@ def sharded_chebyshev_multisweep(
     )
     return jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P(None, None), m, m, m, m, v, v),
+        in_specs=(P(None, None), m, m, m, m, m, m, v, v),
         out_specs=(v, v) if emit_residual else v,
         check_vma=False,  # pallas_call out_shapes carry no vma annotation
-    )(coef, a.diag, a.lower, a.upper, s_inv, x, b)
+    )(coef, a.diag, a.lower, a.upper, s_inv, ml, mu, x, b)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.block_diag import BlockDiag, bd_matvec
-from ..ops.block_tridiag import BlockTridiag, bt_diag_blocks, bt_diagonal
+from ..ops.block_tridiag import BlockTridiag, block_mul, bt_diag_blocks, bt_diagonal
 from ..ops.cg_operator import (
     CgOperator,
     cg_assembled_windows,
@@ -35,6 +35,13 @@ class JacobiSmoother(NamedTuple):
 
 class BlockJacobiSmoother(NamedTuple):
     inv: jax.Array  # (bs, bs, n) inverse diagonal blocks
+    # M-form streams for the fused Pallas multisweep kernels (f32 fast path
+    # only): ml = inv @ a.lower, mu = inv @ a.upper, precomputed once at setup
+    # so the kernel streams 3 operators instead of 4 and skips the diagonal
+    # contraction (S^-1 A_D = I).  None on parity (f64) levels and for
+    # non-block-tridiagonal operators; the kernels recompute on the fly then.
+    ml: jax.Array | None = None
+    mu: jax.Array | None = None
 
 
 class SchwarzSmoother(NamedTuple):
@@ -136,5 +143,13 @@ def dg_smoother(a: BlockTridiag, kind: str = "blockJac") -> Smoother:
         return JacobiSmoother(inv_diag=1.0 / bt_diagonal(a))
     if kind == "blockJac":
         inv = _invert_windows(bt_diag_blocks(a).blocks)
-        return BlockJacobiSmoother(inv=inv)
+        ml = mu = None
+        if isinstance(a, BlockTridiag) and a.diag.dtype == jnp.float32:
+            # fast-path level: precompute the M-form streams for the fused
+            # Pallas kernels (f64 parity levels skip this — they never hit
+            # the kernels, and hierarchy.prepare_fast_smoothers fills these
+            # in after the f32 cast)
+            ml = block_mul(inv, a.lower)
+            mu = block_mul(inv, a.upper)
+        return BlockJacobiSmoother(inv=inv, ml=ml, mu=mu)
     raise ValueError(f"unknown DG smoother kind {kind!r}")

@@ -48,6 +48,7 @@ from agglomerationmultigrid1d_tpu.assembly import dg_flux_operators
 from agglomerationmultigrid1d_tpu.mesh import BoundaryCondition, create_uniform_mesh, make_dg_mesh
 from agglomerationmultigrid1d_tpu.models.hierarchy import _schur_stiffness
 from agglomerationmultigrid1d_tpu.ops import bt_matvec
+from agglomerationmultigrid1d_tpu.ops.block_tridiag import block_mul
 from agglomerationmultigrid1d_tpu.ops.pallas import pallas_block_jacobi_sweep
 from agglomerationmultigrid1d_tpu.smoothers import BlockJacobiSmoother, apply_smoother, dg_smoother
 from agglomerationmultigrid1d_tpu.utils.host import (
@@ -79,7 +80,14 @@ def build_smoother_problem(n_el: int, p: int = 3, dtype=jnp.float64):
             from agglomerationmultigrid1d_tpu.utils.precision import tree_astype
 
             a, s, b = tree_astype((a, s, b), dtype)
-    return to_accelerator((a, s, b))
+    a, s, b = to_accelerator((a, s, b))
+    if isinstance(s, BlockJacobiSmoother) and s.ml is None and a.diag.dtype == jnp.float32:
+        # M-form streams for the fused kernels (setup-time, like production)
+        s = s._replace(
+            ml=block_mul(s.inv, a.lower),
+            mu=block_mul(s.inv, a.upper),
+        )
+    return a, s, b
 
 
 def xla_sweep(a, s, x, b, alpha=2.0 / 3.0):
@@ -107,11 +115,15 @@ def _time_chain(step, x, iters):
     return (time.time() - t0) / iters
 
 
-def _sweep_pass_bytes(n_el: int, bs: int, dtype=jnp.float32, residual=False) -> int:
-    """HBM bytes one fused smoother pass must move: 4 operator streams
-    (A diag/lower/upper + Binv), x and b in, x (+ r) out."""
+def _sweep_pass_bytes(n_el: int, bs: int, dtype=jnp.float32, residual=False,
+                      n_ops: int = 3) -> int:
+    """HBM bytes one fused M-form smoother pass must move: ``n_ops`` operator
+    streams (ML, MU, S^-1 [, A_diag when emitting the residual]), x and b in,
+    x (+ r) out.  The legacy A-form single-sweep kernel streams 4 operators."""
     bpe = jnp.dtype(dtype).itemsize
-    return (4 * bs * bs + 2 * bs + bs * (2 if residual else 1)) * n_el * bpe
+    if residual:
+        n_ops += 1
+    return (n_ops * bs * bs + 2 * bs + bs * (2 if residual else 1)) * n_el * bpe
 
 
 def bench_stream_bw(a, s, b, iters: int = 50) -> float:
@@ -162,7 +174,9 @@ def bench_sweeps(n_el: int, p: int = 3, iters: int = 100, on_headline=None):
     a, s, b = build_smoother_problem(n_el, p, jnp.float32)
     pass_bytes = _sweep_pass_bytes(n_el, p + 1)
 
-    stepm = lambda x: pallas_block_jacobi_multisweep(a, s.inv, x, b, n_sweeps=3)  # noqa: E731
+    stepm = lambda x: pallas_block_jacobi_multisweep(  # noqa: E731
+        a, s.inv, x, b, n_sweeps=3, ml=s.ml, mu=s.mu
+    )
     x = stepm(jnp.zeros_like(b))
     dt3 = _time_chain(stepm, x, iters)
     dt = dt3 / 3.0
@@ -187,15 +201,16 @@ def bench_sweeps(n_el: int, p: int = 3, iters: int = 100, on_headline=None):
         f"(multisweep pass = {out['multisweep_pct_of_stream']:.0f}% of stream)"
     )
 
-    # single-sweep pallas f32
+    # single-sweep pallas f32 (A-form legacy kernel: 4 operator streams)
+    pass_bytes_1 = _sweep_pass_bytes(n_el, p + 1, n_ops=4)
     step = lambda x: pallas_block_jacobi_sweep(a, s.inv, x, b)  # noqa: E731
     x = step(jnp.zeros_like(b))
     dt = _time_chain(step, x, iters)
     out["pallas_f32"] = nnz / dt
-    out["single_sweep_gbps"] = pass_bytes / dt / 1e9
+    out["single_sweep_gbps"] = pass_bytes_1 / dt / 1e9
     log(
         f"pallas f32 sweep: {dt*1e3:.3f} ms -> {nnz/dt/1e9:.1f} GNNZ/s "
-        f"({pass_bytes/dt/1e9:.0f} GB/s = {100.0*pass_bytes/dt/stream_bw:.0f}% of stream)"
+        f"({pass_bytes_1/dt/1e9:.0f} GB/s = {100.0*pass_bytes_1/dt/stream_bw:.0f}% of stream)"
     )
 
     # the fused multisweep INSIDE shard_map (1-device mesh on the single chip):
@@ -204,12 +219,13 @@ def bench_sweeps(n_el: int, p: int = 3, iters: int = 100, on_headline=None):
 
     mesh = make_solver_mesh(1)
     steps = jax.jit(
-        lambda aa, ii, x, bb: sharded_multisweep(
-            mesh, "x", aa, ii, x, bb, n_sweeps=3, alpha=2.0 / 3.0, use_pallas=True
+        lambda aa, ss, x, bb: sharded_multisweep(
+            mesh, "x", aa, ss.inv, x, bb, n_sweeps=3, alpha=2.0 / 3.0,
+            use_pallas=True, ml=ss.ml, mu=ss.mu,
         )
     )
-    x = steps(a, s.inv, jnp.zeros_like(b), b)
-    dt = _time_chain(lambda y: steps(a, s.inv, y, b), x, iters) / 3.0
+    x = steps(a, s, jnp.zeros_like(b), b)
+    dt = _time_chain(lambda y: steps(a, s, y, b), x, iters) / 3.0
     out["sharded_multisweep_f32"] = nnz / dt
     log(f"shard_map multisweep(3) f32: {dt*1e3:.3f} ms/sweep -> {nnz/dt/1e9:.1f} GNNZ/s")
 
@@ -323,6 +339,7 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
 
     from agglomerationmultigrid1d_tpu.models.hierarchy import (
         chebyshev_hierarchy,
+        prepare_fast_smoothers,
         strip_hierarchy,
     )
     from agglomerationmultigrid1d_tpu.models.problems import build_problem
@@ -366,6 +383,7 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
     lo_dev = to_accelerator(a_ff_host.lo)
     b_ff = to_accelerator(b_ff)
     a_ff = BlockTridiagFF(hi=h32.levels[0].a, lo=lo_dev)
+    h32 = prepare_fast_smoothers(h32)  # M-form streams, computed on-chip in f32
     jax.block_until_ready(h32.levels[0].a)
     out["xl_transfer_s"] = round(time.time() - t0, 1)
     log(f"XL host->chip transfer: {out['xl_transfer_s']}s")
@@ -375,7 +393,8 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
     s_inv = fine.smoother.base.inv
     x0 = jnp.zeros_like(b_ff.hi)
     stepm = lambda x: pallas_block_jacobi_multisweep(  # noqa: E731
-        fine.a, s_inv, x, b_ff.hi, n_sweeps=3
+        fine.a, s_inv, x, b_ff.hi, n_sweeps=3,
+        ml=fine.smoother.base.ml, mu=fine.smoother.base.mu,
     )
     x = stepm(x0)
     dt = _time_chain(stepm, x, 30) / 3.0

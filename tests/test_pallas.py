@@ -102,6 +102,46 @@ def test_mixed_precision_multigrid_converges_to_f64_tol():
     )
 
 
+def test_pallas_multisweep_mform_matches_xla(rng):
+    """The M-form temporally-blocked multisweep (real pallas path, interpreter
+    mode) vs plain damped block-Jacobi sweeps — with and without the
+    precomputed ml/mu streams, and with the fused restrict-side residual."""
+    from agglomerationmultigrid1d_tpu.ops.block_tridiag import block_mul
+    from agglomerationmultigrid1d_tpu.ops.pallas import (
+        pallas_block_jacobi_multisweep,
+        pallas_block_jacobi_multisweep_residual,
+    )
+
+    bs, n = 4, 16384
+    a = _random_bt(rng, bs, n, jnp.float32)
+    sinv = jnp.asarray(
+        np.linalg.inv(np.moveaxis(np.asarray(a.diag), -1, 0)).transpose(1, 2, 0),
+        jnp.float32,
+    )
+    x0 = jnp.asarray(rng.standard_normal((bs, n)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((bs, n)), jnp.float32)
+
+    ref = x0
+    for _ in range(3):
+        ref = ref + apply_smoother(
+            BlockJacobiSmoother(inv=sinv), b - bt_matvec(a, ref), 2.0 / 3.0
+        )
+    r_ref = b - bt_matvec(a, ref)
+    scale = float(jnp.abs(ref).max())
+
+    out = pallas_block_jacobi_multisweep(a, sinv, x0, b, n_sweeps=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5 * scale)
+
+    ml, mu = block_mul(sinv, a.lower), block_mul(sinv, a.upper)
+    out2, r2 = pallas_block_jacobi_multisweep_residual(
+        a, sinv, x0, b, n_sweeps=3, interpret=True, ml=ml, mu=mu
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-5 * scale)
+    np.testing.assert_allclose(
+        np.asarray(r2), np.asarray(r_ref), atol=2e-4 * float(jnp.abs(b).max())
+    )
+
+
 def test_pallas_chebyshev_multisweep_matches_xla(rng):
     """Fused Chebyshev kernel (real pallas path at n >= 2*tile, interpreter
     mode) vs the plain XLA recurrence."""
@@ -112,7 +152,12 @@ def test_pallas_chebyshev_multisweep_matches_xla(rng):
 
     bs, n, k = 4, 16384, 3
     a = _random_bt(rng, bs, n, jnp.float32)
-    sinv = jnp.asarray(rng.standard_normal((bs, bs, n)) * 0.1, jnp.float32)
+    # the fused kernels run in M-form: s_inv must be the exact inverse of
+    # a.diag (the block-Jacobi contract — see ops/pallas/block_kernels.py)
+    sinv = jnp.asarray(
+        np.linalg.inv(np.moveaxis(np.asarray(a.diag), -1, 0)).transpose(1, 2, 0),
+        jnp.float32,
+    )
     x0 = jnp.asarray(rng.standard_normal((bs, n)), jnp.float32)
     b = jnp.asarray(rng.standard_normal((bs, n)), jnp.float32)
     coef = chebyshev_coefficients(jnp.float32(0.3), jnp.float32(1.2), k)
