@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .block_tridiag import BlockTridiag
+from .block_tridiag import BlockTridiag, block_mul
 from .shifts import shift
 
 
@@ -74,7 +74,7 @@ def bp5_sub(a: BlockPenta, b: BlockPenta) -> BlockPenta:
 def bt_mul_bt_full(a: BlockTridiag, b: BlockTridiag) -> BlockPenta:
     """``A @ B`` of two block-tridiagonals, keeping the distance-2 blocks
     (the general product :func:`~.block_tridiag.bt_mul_bt` drops)."""
-    mm = lambda x, y: jnp.einsum("ijn,jkn->ikn", x, y)  # noqa: E731
+    mm = block_mul
     diag = (
         mm(a.lower, shift(b.upper, -1)) + mm(a.diag, b.diag) + mm(a.upper, shift(b.lower, +1))
     )

@@ -90,9 +90,9 @@ def bd_mul_bt(m: BlockDiag, a: BlockTridiag) -> BlockTridiag:
     """``M @ A`` with M block-diagonal: scales every diagonal by the row block."""
     mm = m.blocks
     return BlockTridiag(
-        jnp.einsum("ijn,jkn->ikn", mm, a.lower),
-        jnp.einsum("ijn,jkn->ikn", mm, a.diag),
-        jnp.einsum("ijn,jkn->ikn", mm, a.upper),
+        block_mul(mm, a.lower),
+        block_mul(mm, a.diag),
+        block_mul(mm, a.upper),
     )
 
 
@@ -100,9 +100,9 @@ def bt_mul_bd(a: BlockTridiag, m: BlockDiag) -> BlockTridiag:
     """``A @ M`` with M block-diagonal: (AM)[k, k+d] = A[k, k+d] M[k+d]."""
     mm = m.blocks
     return BlockTridiag(
-        jnp.einsum("ijn,jkn->ikn", a.lower, shift(mm, -1)),
-        jnp.einsum("ijn,jkn->ikn", a.diag, mm),
-        jnp.einsum("ijn,jkn->ikn", a.upper, shift(mm, +1)),
+        block_mul(a.lower, shift(mm, -1)),
+        block_mul(a.diag, mm),
+        block_mul(a.upper, shift(mm, +1)),
     )
 
 
@@ -116,25 +116,23 @@ def bt_mul_bt(a: BlockTridiag, b: BlockTridiag) -> BlockTridiag:
     """
     #  C[k,k]   = L_a[k] U_b[k-1] + D_a[k] D_b[k] + U_a[k] L_b[k+1]
     diag = (
-        jnp.einsum("ijn,jkn->ikn", a.lower, shift(b.upper, -1))
-        + jnp.einsum("ijn,jkn->ikn", a.diag, b.diag)
-        + jnp.einsum("ijn,jkn->ikn", a.upper, shift(b.lower, +1))
+        block_mul(a.lower, shift(b.upper, -1))
+        + block_mul(a.diag, b.diag)
+        + block_mul(a.upper, shift(b.lower, +1))
     )
     #  C[k,k-1] = L_a[k] D_b[k-1] + D_a[k] L_b[k]
-    lower = jnp.einsum("ijn,jkn->ikn", a.lower, shift(b.diag, -1)) + jnp.einsum(
-        "ijn,jkn->ikn", a.diag, b.lower
+    lower = block_mul(a.lower, shift(b.diag, -1)) + block_mul(a.diag, b.lower
     )
     #  C[k,k+1] = D_a[k] U_b[k] + U_a[k] D_b[k+1]
-    upper = jnp.einsum("ijn,jkn->ikn", a.diag, b.upper) + jnp.einsum(
-        "ijn,jkn->ikn", a.upper, shift(b.diag, +1)
+    upper = block_mul(a.diag, b.upper) + block_mul(a.upper, shift(b.diag, +1)
     )
     return BlockTridiag(lower, diag, upper)
 
 
 def bt_distance2_residual(a: BlockTridiag, b: BlockTridiag) -> jax.Array:
     """Max |distance-2 blocks| of A @ B — must be ~0 for ``bt_mul_bt`` to be exact."""
-    lo2 = jnp.einsum("ijn,jkn->ikn", a.lower, shift(b.lower, -1))
-    up2 = jnp.einsum("ijn,jkn->ikn", a.upper, shift(b.upper, +1))
+    lo2 = block_mul(a.lower, shift(b.lower, -1))
+    up2 = block_mul(a.upper, shift(b.upper, +1))
     return jnp.maximum(jnp.max(jnp.abs(lo2)), jnp.max(jnp.abs(up2)))
 
 
