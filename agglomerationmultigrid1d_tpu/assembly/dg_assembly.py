@@ -20,6 +20,7 @@ Everything is therefore pure slicing on the (bs, bs, n) diagonals — no scatter
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -114,13 +115,22 @@ def dg_flux_operators(
     return g, d, c
 
 
+@functools.partial(jax.jit, static_argnums=(4,))
+def _dg_load_jit(jac, centers, quad_nodes, wphi, func: Callable) -> jax.Array:
+    xq = centers[None, :] + jac[None, :] * quad_nodes[:, None]  # (n_q, n)
+    fv = func(xq) * jac[None, :]  # (n_q, n)
+    # sum_l wphi[l, i] fv[l, k] unrolled over the tiny l (einsum would batch a
+    # tiny contraction; the fused broadcast-sum is one pass)
+    return sum(wphi[l][:, None] * fv[l][None, :] for l in range(wphi.shape[0]))
+
+
 def dg_load_vector(dg: DgMesh, func: Callable) -> jax.Array:
     """Volume load  f[i, k] = J_k sum_l w_l phi_i f(x_kl)  as ``(bs, n)``."""
     ref = dg.ref
-    jac = jnp.asarray(dg.mesh.jacobians)
-    xq = jnp.asarray(dg.mesh.centers)[:, None] + jac[:, None] * jnp.asarray(ref.quad_nodes)[None, :]
-    return jnp.einsum(
-        "k,l,li,kl->ik", jac, jnp.asarray(ref.quad_weights), jnp.asarray(ref.basis_at_quad), func(xq)
+    wphi = np.asarray(ref.quad_weights)[:, None] * np.asarray(ref.basis_at_quad)
+    return _dg_load_jit(
+        jnp.asarray(dg.mesh.jacobians), jnp.asarray(dg.mesh.centers),
+        jnp.asarray(ref.quad_nodes), jnp.asarray(wphi), func,
     )
 
 

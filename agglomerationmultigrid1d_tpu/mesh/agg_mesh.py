@@ -253,6 +253,16 @@ def make_agg_mesh(
         bd_right[:, 1] = 1.0
         deriv_vals = np.stack([np.zeros(m), 2.0 / h_agg], axis=1)
     mass = BlockDiag(jnp.moveaxis(jnp.asarray(mass_nij), 0, -1))
+    if tables:
+        mass_inv = bd_inverse(mass)
+    else:
+        # lite mass is exactly diag(h, h/3): invert in closed form (the batched
+        # LU path dominated hierarchy setup at 10^7+ base elements)
+        inv_nij = np.zeros_like(mass_nij)
+        inv_nij[:, 0, 0] = 1.0 / h_agg
+        if p == 1:
+            inv_nij[:, 1, 1] = 3.0 / h_agg
+        mass_inv = BlockDiag(jnp.moveaxis(jnp.asarray(inv_nij), 0, -1))
 
     return AggMesh(
         p=p,
@@ -272,7 +282,7 @@ def make_agg_mesh(
         bd_left=bd_left,
         bd_right=bd_right,
         mass=mass,
-        mass_inv=bd_inverse(mass),
+        mass_inv=mass_inv,
         u_hat_left=normalize_switch(switch, m, allow_trapped),
     )
 

@@ -102,8 +102,13 @@ def make_dg_mesh(
     jac = jnp.asarray(mesh.jacobians)
     blocks = jnp.asarray(ref.mass)[:, :, None] * jac[None, None, :]
     mass = BlockDiag(blocks)
+    # every block is J_k * M_ref, so the inverse is M_ref^-1 / J_k — one tiny
+    # host inverse + an elementwise scale instead of n batched LU inverses
+    # (the batched path dominated XL setup at 10^7+ elements)
+    inv_ref = np.linalg.inv(np.asarray(ref.mass))
+    mass_inv = BlockDiag(jnp.asarray(inv_ref)[:, :, None] / jac[None, None, :])
     switch = normalize_switch(switch, mesh.n_elements, allow_trapped)
     return DgMesh(
-        p=p, mesh=mesh, ref=ref, mass=mass, mass_inv=bd_inverse(mass),
+        p=p, mesh=mesh, ref=ref, mass=mass, mass_inv=mass_inv,
         u_hat_left=switch,
     )

@@ -74,8 +74,23 @@ def bp_restrict(l: BlockProlong, rf: jax.Array) -> jax.Array:
 
 
 def _sandwich(ba: jax.Array, m: jax.Array, bb: jax.Array) -> jax.Array:
-    """``Ba^T M Bb`` per element: (bs_f,bs_c,n),(bs_f,bs_f,n),(bs_f,bs_c,n)->(bs_c,bs_c,n)."""
-    return jnp.einsum("fan,fgn,gbn->abn", ba, m, bb)
+    """``Ba^T M Bb`` per element: (bs_f,bs_c,n),(bs_f,bs_f,n),(bs_f,bs_c,n)->(bs_c,bs_c,n).
+
+    Unrolled broadcast-sum, NOT einsum, for the same reason as
+    :func:`~.block_tridiag.block_mul`: a dot_general with a tiny contraction
+    batched over n forces a batch-major relayout on TPU; the unrolled form
+    keeps n on the lanes (this runs on-device in the accelerator-side
+    hierarchy build)."""
+    bsf, bsc = ba.shape[0], ba.shape[1]
+    mb = [
+        [sum(m[f, g] * bb[g, b] for g in range(bsf)) for b in range(bsc)]
+        for f in range(bsf)
+    ]
+    out = [
+        [sum(ba[f, a] * mb[f][b] for f in range(bsf)) for b in range(bsc)]
+        for a in range(bsc)
+    ]
+    return jnp.stack([jnp.stack(row) for row in out])
 
 
 @jax.jit

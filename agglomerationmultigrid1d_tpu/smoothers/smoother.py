@@ -94,32 +94,35 @@ def apply_smoother(s: Smoother, r: jax.Array, alpha: float = 1.0) -> jax.Array:
     raise TypeError(f"unknown smoother {type(s)}")
 
 
+@jax.jit
+def _inv_windows_2x2(w: jax.Array) -> jax.Array:
+    """Fused cofactor inverse on the SoA ``(2, 2, n)`` layout (any backend)."""
+    a, b, c, d = w[0, 0], w[0, 1], w[1, 0], w[1, 1]
+    idet = 1.0 / (a * d - b * c)
+    return jnp.stack(
+        [jnp.stack([d, -b]), jnp.stack([-c, a])]
+    ) * idet
+
+
 def _invert_windows(windows: jax.Array) -> jax.Array:
     """(w, w, n) -> per-slice inverse, same layout.
 
-    Host-side setup: the TPU backend has no f64 LU, so these are the
-    counterparts of the reference's per-block ``la.lu`` factorizations
-    (``smoother.jl:112,:127,:160``).  Block sizes 1/2 use the closed-form
-    cofactor inverse directly on the SoA layout (no transposes — the
-    AoS<->SoA copies dominated setup at 10^7+ elements); larger blocks go
-    through the native C++ batched Gauss-Jordan (NumPy LAPACK fallback)."""
+    Block sizes 1/2 use the closed-form cofactor inverse, jitted directly on
+    the SoA layout (no transposes or host round trips — both dominated setup
+    at 10^7+ elements); larger blocks go through the native C++ batched
+    Gauss-Jordan (NumPy LAPACK fallback) on the host — the TPU backend has no
+    f64 LU, and these are the counterparts of the reference's per-block
+    ``la.lu`` factorizations (``smoother.jl:112,:127,:160``)."""
     import numpy as np
 
     from ..ops.native import batched_inv
 
-    w = np.asarray(windows)
-    bs = w.shape[0]
+    bs = windows.shape[0]
     if bs == 1:
-        return jnp.asarray(1.0 / w)
+        return 1.0 / jnp.asarray(windows)
     if bs == 2:
-        a, b, c, d = w[0, 0], w[0, 1], w[1, 0], w[1, 1]
-        idet = 1.0 / (a * d - b * c)
-        inv = np.empty_like(w)
-        inv[0, 0] = d * idet
-        inv[0, 1] = -b * idet
-        inv[1, 0] = -c * idet
-        inv[1, 1] = a * idet
-        return jnp.asarray(inv)
+        return _inv_windows_2x2(jnp.asarray(windows))
+    w = np.asarray(windows)
     inv = batched_inv(np.moveaxis(w, -1, 0))
     return jnp.asarray(np.moveaxis(inv, 0, -1))
 

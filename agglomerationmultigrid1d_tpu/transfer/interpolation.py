@@ -9,6 +9,9 @@ always L^T, applied by the solver.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -109,6 +112,28 @@ def _seam_to_dense_n(l: SeamProlong) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _aggdg_aggdg_blocks_uniform(p: int, r: int, cb, fb):
+    """Jitted closed-form re-expansion for uniform lite levels, in the
+    ``(r, bs, bs, mc)`` BlockProlong layout (see the exactness note in
+    :func:`aggdg_aggdg_interpolation`)."""
+    mc = cb.shape[0]
+    if p == 0:
+        return jnp.ones((r, 1, 1, mc), dtype=cb.dtype)
+    fbr = fb.reshape(mc, r, 2)
+    hf = (fbr[:, :, 1] - fbr[:, :, 0]).T  # (r, mc)
+    cf = (0.5 * (fbr[:, :, 0] + fbr[:, :, 1])).T
+    hc = cb[:, 1] - cb[:, 0]
+    cc = 0.5 * (cb[:, 0] + cb[:, 1])
+    one = jnp.ones_like(hf)
+    zero = jnp.zeros_like(hf)
+    l01 = 2.0 * (cf - cc[None, :]) / hc[None, :]
+    l11 = hf / hc[None, :]
+    row0 = jnp.stack([one, l01], axis=1)  # (r, 2, mc)
+    row1 = jnp.stack([zero, l11], axis=1)
+    return jnp.stack([row0, row1], axis=1)  # (r, 2, 2, mc)
+
+
 def aggdg_aggdg_interpolation(coarse: AggMesh, fine: AggMesh):
     """L2 projection through the fine mass: L = M_f^-1 N, per fine block.
 
@@ -120,6 +145,13 @@ def aggdg_aggdg_interpolation(coarse: AggMesh, fine: AggMesh):
     mc, bs = coarse.n_agg, coarse.block_size
     r = coarse.sub_uniform_r
     rf = fine.uniform_r
+
+    if not fine.has_tables and r is not None and rf is not None:
+        return BlockProlong(
+            _aggdg_aggdg_blocks_uniform(
+                coarse.p, r, jnp.asarray(coarse.boxes), jnp.asarray(fine.boxes)
+            )
+        )
 
     parent = np.repeat(np.arange(mc), coarse.sub_sizes)
     if fine.has_tables:
@@ -177,17 +209,40 @@ def _pack_ragged_blocks(per_fine: np.ndarray, sizes, offsets):
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _aggdg_dg_blocks_uniform(p: int, r: int, centers, jacs, nodes_x, boxes):
+    """Jitted fused builder for the uniform-r case, directly in the
+    ``(r, w, bs, m)`` BlockProlong layout (the eager NumPy path was ~100x
+    slower at 10^7 base elements: many full-size temporaries on a 2-core
+    host vs one fused XLA loop)."""
+    m = boxes.shape[0]
+    cen = centers.reshape(m, r).T[None]  # (1, r, m)
+    jac = jacs.reshape(m, r).T[None]
+    xn = cen + jac * nodes_x[:, None, None]  # (w, r, m)
+    phi0 = jnp.ones_like(xn)
+    if p == 0:
+        return phi0.transpose(1, 0, 2)[:, :, None, :]
+    xc = 0.5 * (boxes[:, 0] + boxes[:, 1])
+    h = boxes[:, 1] - boxes[:, 0]
+    phi1 = 2.0 * (xn - xc[None, None, :]) / h[None, None, :]
+    return jnp.stack([phi0, phi1], axis=2).transpose(1, 0, 2, 3)  # (r, w, 2, m)
+
+
 def aggdg_dg_interpolation(agg: AggMesh, base: DgMesh):
     """Modal -> nodal evaluation of the agglomerate basis at base-element nodes."""
     m = agg.n_agg
+    r = agg.uniform_r
+    if r is not None:
+        blocks = _aggdg_dg_blocks_uniform(
+            agg.p, r,
+            jnp.asarray(base.mesh.centers), jnp.asarray(base.mesh.jacobians),
+            jnp.asarray(base.ref.nodes_x), jnp.asarray(agg.boxes),
+        )
+        return BlockProlong(blocks)
     parent = np.repeat(np.arange(m), agg.sizes)  # (n_base,)
     centers, jacs = base.mesh.centers, base.mesh.jacobians
     xn = centers[:, None] + jacs[:, None] * base.ref.nodes_x[None, :]  # (n_base, w)
     per_el = modal_basis_vals_batched(agg.p, agg.boxes[parent], xn)  # (n_base, w, bs)
-    r = agg.uniform_r
-    if r is not None:
-        blocks = per_el.reshape(m, r, *per_el.shape[1:])
-        return BlockProlong(jnp.asarray(np.moveaxis(blocks, (0, 1), (-1, 0))))
     return _pack_ragged_blocks(per_el, agg.sizes, agg.offsets)
 
 
