@@ -116,50 +116,74 @@ def _time_chain(step, x, iters):
 
 
 def _sweep_pass_bytes(n_el: int, bs: int, dtype=jnp.float32, residual=False,
-                      n_ops: int = 3) -> int:
+                      n_ops: int = 3, tile: int | None = None, halo: int = 128) -> int:
     """HBM bytes one fused M-form smoother pass must move: ``n_ops`` operator
     streams (ML, MU, S^-1 [, A_diag when emitting the residual]), x and b in,
-    x (+ r) out.  The legacy A-form single-sweep kernel streams 4 operators."""
+    x (+ r) out.  With ``tile`` given, the per-tile left/right halo segment
+    re-reads of the temporally-blocked kernels ((tile + 2 halo)/tile on every
+    input stream) are included — the same model must price both the multisweep
+    and the stream speed-of-light so their ratio is meaningful."""
     bpe = jnp.dtype(dtype).itemsize
     if residual:
         n_ops += 1
-    return (n_ops * bs * bs + 2 * bs + bs * (2 if residual else 1)) * n_el * bpe
+    halo_factor = 1.0 if tile is None else (tile + 2 * halo) / tile
+    mat_in = n_ops * bs * bs
+    vec_in = 2 * bs
+    vec_out = bs * (2 if residual else 1)
+    return int(((mat_in + vec_in) * halo_factor + vec_out) * n_el * bpe)
 
 
 def bench_stream_bw(a, s, b, iters: int = 50) -> float:
-    """Achievable HBM bandwidth for the sweep's exact operand set: a Pallas
-    kernel that streams all four operator tiles + x + b and does one add per
-    element — the memory-bound speed-of-light reference for the sweeps."""
+    """Achievable HBM bandwidth for the multisweep's EXACT operand mix: a
+    Pallas kernel with the same BlockSpecs (3 operator streams + x + b, each
+    with the center tile plus left/right halo segments; one vector out) doing
+    one pass of trivial adds — the memory-bound speed-of-light reference.
+    Priced with the same byte model as the multisweep
+    (``_sweep_pass_bytes(..., tile=...)``), so
+    ``multisweep_gbps / stream_gbps <= 1`` by construction whenever the
+    multisweep's extra compute costs anything."""
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
     from agglomerationmultigrid1d_tpu.ops.pallas.block_kernels import (
+        _halo_specs,
         _pick_tile,
         _x32_scope,
     )
 
     bs, _, n = a.diag.shape
     tile = _pick_tile(bs, n, b.dtype)
+    halo = 128
 
-    def _stream_kernel(ad, al, au, bi, xx, bb, o):
-        o[...] = ad[:, 0, :] + al[:, 0, :] + au[:, 0, :] + bi[:, 0, :] + xx[...] + bb[...]
+    def _stream_kernel(*refs):
+        # 3 ops x (center, left, right), then x, b x (center, left, right), out.
+        # Touch every ref so no fetch is optimized away.
+        ops = [refs[3 * s : 3 * s + 3] for s in range(3)]
+        xc, xl, xr, bc, bl, br = refs[9:15]
+        out = refs[15]
+        acc = xc[...] + bc[...]
+        for c, _, _ in ops:
+            acc = acc + c[:, 0, :]
+        edge = xl[:, 0:1] + xr[:, 0:1] + bl[:, 0:1] + br[:, 0:1]
+        for _, l, r in ops:
+            edge = edge + l[:, 0, 0:1] + r[:, 0, 0:1]
+        out[...] = acc + edge
 
-    m3 = pl.BlockSpec((bs, bs, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    v1 = pl.BlockSpec((bs, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    (m_c, m_l, m_r), (v_c, v_l, v_r) = _halo_specs(bs, tile, halo)
+    in_specs = [m_c, m_l, m_r] * 3 + [v_c, v_l, v_r] * 2
 
     @jax.jit
-    def g(ad, al, au, bi, xx, bb):
+    def g(ml, mu, si, xx, bb):
         with _x32_scope():
             return pl.pallas_call(
                 _stream_kernel,
                 grid=(n // tile,),
-                in_specs=[m3, m3, m3, m3, v1, v1],
-                out_specs=v1,
+                in_specs=in_specs,
+                out_specs=v_c,
                 out_shape=jax.ShapeDtypeStruct((bs, n), b.dtype),
-            )(ad, al, au, bi, xx, bb)
+            )(ml, ml, ml, mu, mu, mu, si, si, si, xx, xx, xx, bb, bb, bb)
 
-    x = g(a.diag, a.lower, a.upper, s.inv, b, b)
-    dt = _time_chain(lambda y: g(a.diag, a.lower, a.upper, s.inv, y, b), x, iters)
-    return _sweep_pass_bytes(n, bs, b.dtype) / dt
+    x = g(s.ml, s.mu, s.inv, b, b)
+    dt = _time_chain(lambda y: g(s.ml, s.mu, s.inv, y, b), x, iters)
+    return _sweep_pass_bytes(n, bs, b.dtype, tile=tile, halo=halo) / dt
 
 
 def bench_sweeps(n_el: int, p: int = 3, iters: int = 100, on_headline=None):
@@ -170,9 +194,11 @@ def bench_sweeps(n_el: int, p: int = 3, iters: int = 100, on_headline=None):
     # so ``on_headline`` can emit a complete record before the optional sweep
     # variants spend any further compile time
     from agglomerationmultigrid1d_tpu.ops.pallas import pallas_block_jacobi_multisweep
+    from agglomerationmultigrid1d_tpu.ops.pallas.block_kernels import _pick_tile
 
     a, s, b = build_smoother_problem(n_el, p, jnp.float32)
-    pass_bytes = _sweep_pass_bytes(n_el, p + 1)
+    tile = _pick_tile(p + 1, n_el, jnp.float32)
+    pass_bytes = _sweep_pass_bytes(n_el, p + 1, tile=tile)
 
     stepm = lambda x: pallas_block_jacobi_multisweep(  # noqa: E731
         a, s.inv, x, b, n_sweeps=3, ml=s.ml, mu=s.mu
@@ -201,8 +227,10 @@ def bench_sweeps(n_el: int, p: int = 3, iters: int = 100, on_headline=None):
         f"(multisweep pass = {out['multisweep_pct_of_stream']:.0f}% of stream)"
     )
 
-    # single-sweep pallas f32 (A-form legacy kernel: 4 operator streams)
-    pass_bytes_1 = _sweep_pass_bytes(n_el, p + 1, n_ops=4)
+    # single-sweep pallas f32 (A-form legacy kernel: 4 operator streams, and x
+    # is fetched three times — center plus two full-tile neighbor reads)
+    bs1 = p + 1
+    pass_bytes_1 = (4 * bs1 * bs1 + 5 * bs1) * n_el * 4
     step = lambda x: pallas_block_jacobi_sweep(a, s.inv, x, b)  # noqa: E731
     x = step(jnp.zeros_like(b))
     dt = _time_chain(step, x, iters)

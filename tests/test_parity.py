@@ -132,39 +132,58 @@ def _run_parity(prob, maxiter=200, tol=1e-10):
 
 def test_parity_cg_hierarchy():
     """cf. cg_heirarchy_test.jl (4 CG levels p = 8, 4, 2, 1)."""
-    it = _run_parity(poisson_cg_hierarchy(n=32))
-    assert it <= 12  # regression guard on the pinned count
+    # golden count pinned EXACTLY: any drift in framework or oracle (even a
+    # shared one that still agrees between them) fails loudly
+    assert _run_parity(poisson_cg_hierarchy(n=32)) == 6
 
 
-@pytest.mark.parametrize("kind", ["addSchwarz", "hybridSchwarz"])
-def test_parity_cg_schwarz_hierarchy(kind):
+@pytest.mark.parametrize("kind,golden", [("addSchwarz", 7), ("hybridSchwarz", 4)])
+def test_parity_cg_schwarz_hierarchy(kind, golden):
     """Schwarz-smoothed CG hierarchy (BASELINE parity config 2: the reference's
     ``cg_smoother(..., :addSchwarz/:hybridSchwarz)``, ``smoother.jl:1-46,
     :88-139``) — exact iteration-count parity against the dense oracle."""
-    it = _run_parity(poisson_cg_hierarchy(n=32, cg_smoother=kind))
-    assert it <= 12
+    assert _run_parity(poisson_cg_hierarchy(n=32, cg_smoother=kind)) == golden
 
 
 def test_parity_dg_hierarchy():
     """cf. dg_heirarchy_test.jl (4 DG levels, CDir = 1000 n)."""
-    it = _run_parity(poisson_dg_hierarchy(n=32, max_p=8, n_dg=4))
-    assert it <= 60
+    assert _run_parity(poisson_dg_hierarchy(n=32, max_p=8, n_dg=4)) == 9
 
 
 def test_parity_dg_cg_hierarchy():
     """cf. dg_cg_heirarchy_test.jl (4 CG levels + 1 DG p=0 seam)."""
-    it = _run_parity(poisson_dg_cg_hierarchy(n=32))
-    assert it <= 30
+    assert _run_parity(poisson_dg_cg_hierarchy(n=32)) == 11
+
+
+# stored golden residual history of the flagship n=32 full-hierarchy run
+# (the reference's printed `resVec` semantics, full_heirarchy_test.jl:96-102):
+# ||b - A x_k||_2 after V-cycle k, f64, nPre=nPost=3, alpha=2/3, CDir=1000n.
+FULL_N32_RES_HISTORY = np.array([
+    9.1257776062898299e-01, 7.8437318174045700e-02, 1.4892271154039027e-02,
+    3.1954752448787580e-03, 7.2896991082313262e-04, 1.7241273153882682e-04,
+    4.2096918779178286e-05, 1.0608170251476927e-05, 2.7535621457507922e-06,
+    7.3305446084402545e-07, 1.9905801461158008e-07, 5.4843103474666954e-08,
+])
 
 
 def test_parity_full_hierarchy():
     """cf. full_heirarchy_test.jl (4 CG + agglomerated levels, CDir = 1000 n)."""
-    it = _run_parity(poisson_full_hierarchy(n=32))
-    assert it <= 16
+    prob = poisson_full_hierarchy(n=32)
+    assert _run_parity(prob) == len(FULL_N32_RES_HISTORY) == 12
+    # pin the flagship residual history against the stored fixture (loose
+    # enough for cross-XLA-version reduction-order noise, tight enough that
+    # any algorithmic change — smoother, transfer, coarse solve — trips it)
+    from agglomerationmultigrid1d_tpu.models.solvers import multigrid
+
+    res = multigrid(prob.hierarchy, jnp.zeros_like(prob.b), prob.b, 200, 1e-10)
+    it = int(res.iterations)
+    np.testing.assert_allclose(
+        np.asarray(res.res_history)[:it], FULL_N32_RES_HISTORY, rtol=1e-6,
+        err_msg="flagship residual history drifted from the stored golden fixture",
+    )
 
 
 def test_parity_full_hierarchy_ragged():
     """The ragged-partition path must satisfy the same solver parity (the
     oracle Galerkin-projects through the dense ragged transfer matrices)."""
-    it = _run_parity(poisson_full_hierarchy(n=24, n_agg=3))
-    assert it <= 16
+    assert _run_parity(poisson_full_hierarchy(n=24, n_agg=3)) == 14
