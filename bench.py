@@ -358,63 +358,39 @@ def bench_flagship_solve(n: int):
 
 
 def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
-    """10^8-DoF single-chip demonstration (BASELINE config 5 scale): host f64
-    assembly, float-float split + f32 hierarchy shipped to the chip (the f64
-    operators never leave the host), fused-kernel smoother sweeps at full
-    problem size, and the guarded mixed-precision solve to ``tol`` relative
-    residual.  Returns a dict of metrics."""
+    """10^8-DoF single-chip demonstration (BASELINE config 5 scale, north-star
+    size): stencil-inflated setup (``models/stencil_setup.py`` — O(n/z) host
+    work, operators broadcast-assembled on the chip), fused-kernel smoother
+    sweeps at full problem size, and the guarded mixed-precision solve to
+    ``tol`` relative residual.  Returns a dict of metrics."""
     import jax.numpy as jnp
 
-    from agglomerationmultigrid1d_tpu.models.hierarchy import (
-        chebyshev_hierarchy,
-        prepare_fast_smoothers,
-        strip_hierarchy,
-    )
-    from agglomerationmultigrid1d_tpu.models.problems import build_problem
     from agglomerationmultigrid1d_tpu.models.solvers import _mixed_loop_ff
-    from agglomerationmultigrid1d_tpu.ops.df64 import FF, BlockTridiagFF, bt_split, ff_split
+    from agglomerationmultigrid1d_tpu.models.stencil_setup import (
+        build_xl_problem,
+        default_stencil_factor,
+    )
+    from agglomerationmultigrid1d_tpu.ops.df64 import FF
     from agglomerationmultigrid1d_tpu.ops.pallas import pallas_block_jacobi_multisweep
     from agglomerationmultigrid1d_tpu.utils.config import HierarchySpec
-    from agglomerationmultigrid1d_tpu.utils.host import on_host
-    from agglomerationmultigrid1d_tpu.utils.precision import hierarchy_astype
 
     out = {"xl_dof": n_el * (p_fine + 1)}
-    n_agg = 1 + max(int(np.ceil(np.log2(n_el / 4 / 3072))), 0)
+    # coarsen the agg chain to ~12k agglomerates: deep enough that the cyclic-
+    # reduction coarse solve is negligible, shallow enough that the stencil
+    # factor z stays large (the coarsest stencil level needs >= 10 blocks)
+    n_agg = 1 + max(int(np.ceil(np.log2(n_el / 4 / 12288))), 0)
     spec = HierarchySpec(
         cg_orders=(), dg_orders=(p_fine,), n_agg_levels=n_agg, p_agg=1,
         c_dir=1000.0 * n_el,
     )
+    z = default_stencil_factor(spec, n_el)
     t0 = time.time()
-    prob = build_problem(spec, n_el, to_device=False)
-    out["xl_setup_host_s"] = round(time.time() - t0, 1)
-    log(f"XL host assembly ({n_el} el, {out['xl_dof']:.3g} DoF, {n_agg+1} levels): "
-        f"{out['xl_setup_host_s']}s")
-
-    t0 = time.time()
-    with on_host():
-        h = prob.hierarchy
-        a_ff_host = bt_split(h.levels[0].a)
-        h32 = hierarchy_astype(strip_hierarchy(h), jnp.float32)
-        lv0 = h32.levels[0]._replace(a=a_ff_host.hi)  # share hi with the ff pair
-        h32 = type(h32)(
-            levels=(lv0,) + h32.levels[1:], transfers=h32.transfers, coarse=h32.coarse
-        )
-        h32 = chebyshev_hierarchy(h32)
-        norm_b = float(np.linalg.norm(np.asarray(prob.b).T.reshape(-1)))
-        b_ff = ff_split(jnp.asarray(prob.b))
-    del prob, h  # free the host f64 hierarchy before the transfer
-    out["xl_setup_prep_s"] = round(time.time() - t0, 1)
-    log(f"XL ff-split + f32 cast + chebyshev: {out['xl_setup_prep_s']}s")
-
-    t0 = time.time()
-    h32 = to_accelerator(h32)
-    lo_dev = to_accelerator(a_ff_host.lo)
-    b_ff = to_accelerator(b_ff)
-    a_ff = BlockTridiagFF(hi=h32.levels[0].a, lo=lo_dev)
-    h32 = prepare_fast_smoothers(h32)  # M-form streams, computed on-chip in f32
+    h32, a_ff, b_ff, norm_b = build_xl_problem(spec, n_el, z=z)
     jax.block_until_ready(h32.levels[0].a)
-    out["xl_transfer_s"] = round(time.time() - t0, 1)
-    log(f"XL host->chip transfer: {out['xl_transfer_s']}s")
+    out["xl_setup_s"] = round(time.time() - t0, 1)
+    log(f"XL stencil setup ({n_el} el, {out['xl_dof']:.3g} DoF, {n_agg+1} levels, "
+        f"z={z}, n0={n_el // z}): {out['xl_setup_s']}s end-to-end (host stencils "
+        "+ rhs + inflation + transfer)")
 
     # smoother sweeps at full problem size (the north-star per-chip metric)
     fine = h32.levels[0]
@@ -523,7 +499,9 @@ def main():
         result["mixed_solve_dof"] = mx_dof
 
     def _xl():
-        xl_el = int(os.environ.get("AGGMG_BENCH_XL_EL", str(1 << 16 if SMALL else 1 << 24)))
+        # default 5.03e7 elements = 1.006e8 DoF at p=1 (the BASELINE north-star
+        # problem size, single chip)
+        xl_el = int(os.environ.get("AGGMG_BENCH_XL_EL", str(1 << 16 if SMALL else 3 << 24)))
         result.update(bench_xl_solve(xl_el))
 
     stage("flagship_solve", 60 if SMALL else 150, _flagship)

@@ -1,0 +1,190 @@
+"""Stencil-inflated setup (models/stencil_setup.py) must reproduce the direct
+host build exactly: on a uniform mesh every level/transfer/smoother array is
+translation invariant away from the boundary, so inflating stencils extracted
+from an n/z-size build must give the same full-size hierarchy the reference's
+full-size assembly chain (``src/mesh_heirarchy.jl:30-181``) produces."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agglomerationmultigrid1d_tpu.models.hierarchy import (
+    CgLevel,
+    chebyshev_hierarchy,
+    prepare_fast_smoothers,
+    strip_hierarchy,
+)
+from agglomerationmultigrid1d_tpu.models.problems import build_problem
+from agglomerationmultigrid1d_tpu.models.solvers import _mixed_loop_ff
+from agglomerationmultigrid1d_tpu.models.stencil_setup import (
+    build_xl_problem,
+    default_stencil_factor,
+    inflate_hierarchy,
+)
+from agglomerationmultigrid1d_tpu.ops.coarse_solve import coarse_solve
+from agglomerationmultigrid1d_tpu.ops.df64 import FF, bt_split, cg_band_split, ff_split
+from agglomerationmultigrid1d_tpu.utils.config import HierarchySpec
+from agglomerationmultigrid1d_tpu.utils.precision import hierarchy_astype
+
+
+def _dg_spec(n):
+    return HierarchySpec(
+        cg_orders=(), dg_orders=(1,), n_agg_levels=4, p_agg=1, c_dir=1000.0 * n
+    )
+
+
+def _flagship_spec(n, smoother="jac"):
+    return HierarchySpec(
+        cg_orders=(8, 4, 2, 1), n_agg_levels=3, p_agg=1, c_dir=1000.0 * n,
+        cg_smoother=smoother,
+    )
+
+
+def _assert_tree_close(tree_a, tree_b, rtol):
+    la, ta = jax.tree_util.tree_flatten(tree_a)
+    lb, tb = jax.tree_util.tree_flatten(tree_b)
+    assert ta == tb
+    for x, y in zip(la, lb):
+        x, y = np.asarray(x), np.asarray(y)
+        assert x.shape == y.shape
+        if x.size == 0:
+            continue
+        scale = max(float(np.abs(y).max()), 1e-30)
+        np.testing.assert_allclose(x, y, atol=rtol * scale, rtol=0)
+
+
+def _reference_lowprec(spec, n):
+    prob = build_problem(spec, n, to_device=False)
+    h64 = strip_hierarchy(prob.hierarchy)
+    fine = h64.levels[0]
+    a_ff = cg_band_split(fine.a.band) if isinstance(fine, CgLevel) else bt_split(fine.a)
+    h_ref = prepare_fast_smoothers(hierarchy_astype(h64, jnp.float32))
+    return prob, h_ref, a_ff
+
+
+@pytest.mark.parametrize("n", [4096, 3 * 1024])
+def test_inflated_dg_matches_direct_build(n):
+    """Every inflated array (levels, smoothers incl. M-form streams, transfers,
+    the float-float fine pair, b) equals the direct full-size host build —
+    bitwise for dyadic h, to one-f32-ULP jitter otherwise."""
+    spec = _dg_spec(n)
+    z = default_stencil_factor(spec, n)
+    assert z >= 8
+    h_low, a_ff, b_ff, norm_b = build_xl_problem(spec, n, z=z, chebyshev=False)
+    prob, h_ref, a_ff_ref = _reference_lowprec(spec, n)
+
+    _assert_tree_close(h_low.levels, h_ref.levels, rtol=3e-7)
+    _assert_tree_close(h_low.transfers, h_ref.transfers, rtol=3e-7)
+    _assert_tree_close(a_ff.hi, a_ff_ref.hi, rtol=3e-7)
+    # hi + lo must reproduce the f64 operator (the pair, not lo alone, is the
+    # invariant: lo legitimately jumps by an f32 ulp of hi at rounding edges)
+    ff_sum = jax.tree_util.tree_map(
+        lambda h, l: h.astype(np.float64) + l.astype(np.float64), a_ff.hi, a_ff.lo
+    )
+    ff_sum_ref = jax.tree_util.tree_map(
+        lambda h, l: h.astype(np.float64) + l.astype(np.float64),
+        a_ff_ref.hi, a_ff_ref.lo,
+    )
+    _assert_tree_close(ff_sum, ff_sum_ref, rtol=1e-11)
+
+    b_ref = ff_split(jnp.asarray(prob.b))
+    _assert_tree_close(b_ff.hi, b_ref.hi, rtol=3e-7)
+    np.testing.assert_allclose(
+        norm_b, float(jnp.linalg.norm(jnp.asarray(prob.b).T.reshape(-1))), rtol=1e-12
+    )
+
+    rng = np.random.default_rng(0)
+    nc = h_ref.levels[-1].a.n_dof
+    v = jnp.asarray(rng.standard_normal(nc), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(coarse_solve(h_low.coarse, v)),
+        np.asarray(coarse_solve(h_ref.coarse, v)),
+        rtol=1e-4,
+    )
+
+
+@pytest.mark.parametrize("smoother", ["jac", "hybridSchwarz"])
+def test_inflated_flagship_matches_direct_build(smoother):
+    """The CG-topped flagship chain (4 CG levels p=8..1, seam, agg levels)
+    inflates exactly too: windows, bands, Schwarz inverses + multiplicities,
+    the seam transfer, and the CG-band float-float pair."""
+    n = 2048
+    spec = _flagship_spec(n, smoother)
+    h_low, a_ff, b_ff, norm_b = build_xl_problem(spec, n, chebyshev=False)
+    prob, h_ref, a_ff_ref = _reference_lowprec(spec, n)
+
+    _assert_tree_close(h_low.levels, h_ref.levels, rtol=3e-7)
+    _assert_tree_close(h_low.transfers, h_ref.transfers, rtol=3e-7)
+    _assert_tree_close(a_ff.hi, a_ff_ref.hi, rtol=3e-7)
+    b_ref = ff_split(jnp.asarray(prob.b))
+    _assert_tree_close(b_ff.hi, b_ref.hi, rtol=3e-7)
+
+
+def test_inflated_chebyshev_bounds_close_to_full_size():
+    """The Chebyshev lambda_max is reused from the stencil-size hierarchy (a
+    converged 50-iteration power estimate with an inflated 1.1 safety).  Only
+    *under*-estimation is dangerous (the polynomial amplifies modes above
+    lam_hi): the reused bound must cover the raw full-size power estimate and
+    stay within ~25% above it."""
+    n = 4096
+    spec = _dg_spec(n)
+    h_low, _, _, _ = build_xl_problem(spec, n, z=8, chebyshev=True)
+    _, h_ref, _ = _reference_lowprec(spec, n)
+    h_ref = chebyshev_hierarchy(h_ref, power_iters=50, safety=1.0)  # raw lambda
+    for lv, lr in zip(h_low.levels[:-1], h_ref.levels[:-1]):
+        lam_s, lam_f = float(lv.smoother.lam_hi), float(lr.smoother.lam_hi)
+        assert lam_s >= lam_f, (lam_s, lam_f)
+        assert lam_s <= 1.25 * lam_f, (lam_s, lam_f)
+
+
+def test_inflated_solve_converges():
+    """End-to-end: the guarded float-float refinement on the inflated flagship
+    hierarchy reaches 1e-10 relative residual with the usual cycle counts."""
+    n = 2048
+    spec = _flagship_spec(n)
+    h_low, a_ff, b_ff, norm_b = build_xl_problem(spec, n, chebyshev=True)
+    x_ff = FF(jnp.zeros_like(b_ff.hi), jnp.zeros_like(b_ff.hi))
+    res = _mixed_loop_ff(
+        h_low, a_ff, x_ff, b_ff, jnp.asarray(1.0 / norm_b, jnp.float32),
+        maxiter=100, tol=1e-10, inner_tol=3.0e-5, max_inner=20,
+        n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=False,
+    )
+    it, cycles = int(res[1]), int(res[2])
+    rel = float(np.asarray(res[3])[it - 1])
+    assert rel < 1e-10
+    assert cycles <= 40
+
+
+def test_inflate_f64_identity_roundtrip():
+    """Inflating an f64 hierarchy by its own z against a direct f64 build of
+    the same size is exact (the generic inflation entry point)."""
+    n, z = 2048, 4
+    spec = _dg_spec(n)
+    prob_small = build_problem(
+        spec, n // z, to_device=False,
+        mesh=__import__(
+            "agglomerationmultigrid1d_tpu.models.stencil_setup", fromlist=["x"]
+        )._stencil_mesh(n // z, 1.0 / n),
+    )
+    h_small = strip_hierarchy(prob_small.hierarchy)
+    h_big = inflate_hierarchy(h_small, h_small, z)
+    prob = build_problem(spec, n, to_device=False)
+    h_ref = strip_hierarchy(prob.hierarchy)
+    _assert_tree_close(h_big.levels, h_ref.levels, rtol=1e-11)
+    _assert_tree_close(h_big.transfers, h_ref.transfers, rtol=1e-11)
+
+
+def test_inflation_rejects_nonuniform():
+    """A graded mesh is not translation invariant; the constancy check must
+    catch it instead of silently inflating a wrong operator."""
+    from agglomerationmultigrid1d_tpu.mesh.topology import create_graded_mesh
+
+    n, z = 2048, 8
+    spec = _dg_spec(n)
+    prob_small = build_problem(
+        spec, n // z, to_device=False, mesh=create_graded_mesh(n // z, 0.0, 1.0)
+    )
+    h_small = strip_hierarchy(prob_small.hierarchy)
+    with pytest.raises(ValueError, match="translation invariant"):
+        inflate_hierarchy(h_small, h_small, z)
