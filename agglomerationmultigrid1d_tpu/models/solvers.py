@@ -38,11 +38,43 @@ from ..smoothers.smoother import apply_smoother
 from .hierarchy import BlockLevel, CgLevel, Hierarchy
 
 
+def _is_slim_bt(level) -> bool:
+    """A "slim" fine level (XL stencil setup): the BlockTridiag carries only
+    its diagonal; the off-diagonal action lives in the smoother's M-form
+    streams (``A = D (I + ML_shift + MU_shift)`` since ``ML = D^-1 L``)."""
+    return (
+        isinstance(level, BlockLevel)
+        and isinstance(level.a, BlockTridiag)
+        and level.a.lower.size == 0
+        and level.a.diag.size > 0
+    )
+
+
+def _mform_matvec(level, x):
+    """``A x = D (x + ML x_- + MU x_+)`` from the M-form smoother streams.
+
+    Exact up to one f32 rounding of the off-diagonal terms (ML/MU are
+    rounded products) — used only where the solver needs an approximate
+    residual magnitude (inner-cycle stall detection); the trustworthy defect
+    always comes from the float-float stencil operator (``ops.df64``)."""
+    from ..smoothers.smoother import ChebyshevSmoother
+
+    from ..ops.shifts import shift
+
+    s = level.smoother
+    base = s.base if isinstance(s, ChebyshevSmoother) else s
+    xm, xp = shift(x, -1), shift(x, +1)
+    t = x + jnp.einsum("ijn,jn->in", base.ml, xm) + jnp.einsum("ijn,jn->in", base.mu, xp)
+    return jnp.einsum("ijn,jn->in", level.a.diag, t)
+
+
 def level_matvec(level, x):
     if isinstance(level, CgLevel):
         return cg_matvec(level.a, x)
     if isinstance(level.a, BlockPenta):
         return bp5_matvec(level.a, x)
+    if _is_slim_bt(level):
+        return _mform_matvec(level, x)
     return bt_matvec(level.a, x)
 
 
@@ -257,6 +289,7 @@ def _level_matvec_opt(level, x, use_pallas):
         use_pallas
         and isinstance(level, BlockLevel)
         and isinstance(level.a, BlockTridiag)
+        and not _is_slim_bt(level)
         and x.dtype == jnp.float32
     ):
         from ..ops.pallas import pallas_bt_matvec

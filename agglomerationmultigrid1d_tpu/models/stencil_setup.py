@@ -181,10 +181,20 @@ def _is_empty(arr) -> bool:
 def _plan_bt(plan: _Plan, a: BlockTridiag, what: str, rtol="auto"):
     if _is_empty(a.diag):
         return lambda out: a
-    i = plan.el(a.lower, f"{what}.lower", rtol)
-    j = plan.el(a.diag, f"{what}.diag", rtol)
-    k = plan.el(a.upper, f"{what}.upper", rtol)
-    return lambda out: BlockTridiag(lower=out[i], diag=out[j], upper=out[k])
+    # slim fine levels carry empty off-diagonals (the action lives in the
+    # smoother's M-form streams); pass empties through untouched
+    def one(arr, name):
+        if _is_empty(arr):
+            return None
+        return plan.el(arr, f"{what}.{name}", rtol)
+
+    i, j, k = one(a.lower, "lower"), one(a.diag, "diag"), one(a.upper, "upper")
+    e_low, e_up = a.lower, a.upper
+    return lambda out: BlockTridiag(
+        lower=e_low if i is None else out[i],
+        diag=out[j],
+        upper=e_up if k is None else out[k],
+    )
 
 
 def _plan_smoother(plan: _Plan, s, level, what: str):
@@ -392,6 +402,7 @@ def build_xl_problem(
     bw: int = _BW,
     dtype=jnp.float32,
     chebyshev: bool = True,
+    slim_fine: bool = False,
     device=None,
     domain: tuple[float, float] = (0.0, 1.0),
 ):
@@ -409,6 +420,14 @@ def build_xl_problem(
     load (plus the boundary-condition lift re-applied from stencil data),
     split to float-float and shipped — everything else moves O(bw) stencil
     columns and inflates on the accelerator.
+
+    ``slim_fine=True`` (DG-topped chains only) additionally drops the fine
+    level's materialized off-diagonals AND the whole float-float pair: the
+    fine ``a`` keeps only its diagonal (the M-form smoother streams carry the
+    off-diagonal action — ``solvers._mform_matvec``), and ``a_ff`` becomes a
+    :class:`~..ops.df64.BTFFStencil` whose defect contracts with broadcast
+    stencil blocks (zero operator traffic/residency).  Saves ~5 fine-level
+    streams (~4 GB at 10^8 DoF) with identical convergence.
     """
     from ..mesh.cg_mesh import CgMesh
     from ..mesh.dg_mesh import DgMesh
@@ -460,10 +479,23 @@ def build_xl_problem(
             # preconditioned spectrum (measured < 4% between n0 and n; only
             # UNDER-estimates hurt — see test_stencil_setup)
             h_low0 = chebyshev_hierarchy(h_low0, power_iters=50, safety=1.1)
+        if slim_fine:
+            if not isinstance(h_low0.levels[0], BlockLevel) or dtype != jnp.float32:
+                raise ValueError("slim_fine requires an f32 DG-topped chain")
+            lv0 = h_low0.levels[0]
+            e = jnp.zeros((0, 0, 0), dtype=dtype)
+            lv0 = lv0._replace(a=BlockTridiag(lower=e, diag=lv0.a.diag, upper=e))
+            h_low0 = Hierarchy(
+                levels=(lv0,) + h_low0.levels[1:],
+                transfers=h_low0.transfers, coarse=h_low0.coarse,
+            )
 
     # 3) inflate the solve hierarchy and the ff fine operator on-device
     h_low = inflate_hierarchy(h_low0, h64, z, bw=bw, device=device)
-    a_ff = _inflate_ff_fine(a_ff_small, h_low.levels[0], z, bw, device)
+    if slim_fine:
+        a_ff = _stencil_ff_fine(a_ff_small, n, bw, device)
+    else:
+        a_ff = _inflate_ff_fine(a_ff_small, h_low.levels[0], z, bw, device)
 
     # 4) the O(n) rhs: host f64 load + BC lift from stencil data, ff split
     with on_host():
@@ -502,6 +534,36 @@ def _share_fine_hi(h_low, a_ff_small):
     return Hierarchy(
         levels=(lv0,) + h_low.levels[1:], transfers=h_low.transfers, coarse=h_low.coarse
     )
+
+
+def _stencil_ff_fine(a_ff_small, n: int, bw: int, device):
+    """The float-float fine operator as pure stencils (slim mode): no (bs, bs,
+    n) stream is ever materialized; :func:`~..ops.df64.ff_bt_defect_stencil`
+    contracts with the broadcast mid blocks."""
+    from ..ops.df64 import BlockTridiagFF, BTFFStencil
+
+    if not isinstance(a_ff_small, BlockTridiagFF):
+        raise ValueError("slim_fine requires a block-tridiagonal fine operator")
+
+    def parts(bt: BlockTridiag, rtol):
+        sts = {
+            k: _extract_el(getattr(bt, k), bw, f"a_ff.{k}", rtol)
+            for k in ("lower", "diag", "upper")
+        }
+        mk = lambda sel: BlockTridiag(  # noqa: E731
+            lower=jnp.asarray(sel(sts["lower"])),
+            diag=jnp.asarray(sel(sts["diag"])),
+            upper=jnp.asarray(sel(sts["upper"])),
+        )
+        return mk(lambda s: s.left), mk(lambda s: s.mid), mk(lambda s: s.right)
+
+    hi_l, hi_m, hi_r = parts(a_ff_small.hi, "auto")
+    lo_l, lo_m, lo_r = parts(a_ff_small.lo, None)
+    st = BTFFStencil(
+        hi_left=hi_l, hi_mid=hi_m, hi_right=hi_r,
+        lo_left=lo_l, lo_mid=lo_m, lo_right=lo_r, n=n,
+    )
+    return jax.device_put(st, device)
 
 
 def _inflate_ff_fine(a_ff_small, fine_low, z: int, bw: int, device):

@@ -134,15 +134,38 @@ def ff_from_f32(x: jax.Array) -> FF:
     return FF(x, jnp.zeros_like(x))
 
 
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=1)
+def _use_barriers() -> bool:
+    """Whether the EFT chains need optimization_barrier fences.
+
+    XLA:CPU's optimizer reassociates the fused accumulation across the
+    error-free transforms (measured defect error 6.7e-12 unfenced vs 5e-15
+    fenced); XLA:TPU preserves them exactly without fences — and the fences
+    are NOT free there: every pinned (hi, lo) pair becomes a materialized
+    buffer, which at 10^8 DoF adds ~5 GB of HBM temporaries to the fused
+    refinement program (observed 22.1 GB vs the 15.75 GB v5e capacity).
+    Decided once per process from the default backend."""
+    return jax.default_backend() == "cpu"
+
+
+def _fence(t: FF) -> FF:
+    if _use_barriers():
+        return FF(*jax.lax.optimization_barrier((t.hi, t.lo)))
+    return t
+
+
 def _contract_ff(m: BlockTridiagFF, sel, x: FF, acc: FF, sign: float) -> FF:
     """acc += sign * (sel(m)[i, j, :] @ x[j, :]) over the block rows.
 
-    Two details here are load-bearing against XLA:CPU's optimizer (TPU is
-    exact either way; measured defect error 6.7e-12 vs 5e-15):
+    Two details here are load-bearing against XLA:CPU's optimizer (see
+    :func:`_use_barriers` — TPU is exact unfenced and the fences cost HBM):
 
-    * each product and each renormalized accumulator pair is pinned with an
-      ``optimization_barrier`` so the fused accumulation loop cannot be
-      reassociated across the error-free transforms;
+    * on CPU, each product and each renormalized accumulator pair is pinned
+      with an ``optimization_barrier`` so the fused accumulation loop cannot
+      be reassociated across the error-free transforms;
     * the sign is applied to the *product* (after its barrier), never to the
       multiplicand — ``(-a) * x`` invites a sign-distribution rewrite through
       Dekker's splitting that costs ~12 bits."""
@@ -151,11 +174,11 @@ def _contract_ff(m: BlockTridiagFF, sel, x: FF, acc: FF, sign: float) -> FF:
     for j in range(bs):
         a = FF(mh[:, j, :], ml[:, j, :])
         t = ff_mul(a, FF(x.hi[j : j + 1, :], x.lo[j : j + 1, :]))
-        t = FF(*jax.lax.optimization_barrier((t.hi, t.lo)))
+        t = _fence(t)
         if sign < 0:
             t = ff_neg(t)
         acc = ff_add(acc, t)
-        acc = FF(*jax.lax.optimization_barrier((acc.hi, acc.lo)))
+        acc = _fence(acc)
     return acc
 
 
@@ -194,6 +217,93 @@ def ff_bp5_defect(a: BlockPentaFF, x: FF, b: FF) -> FF:
     return acc
 
 
+import dataclasses as _dataclasses
+import functools as _functools
+
+
+@_functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("hi_left", "hi_mid", "hi_right", "lo_left", "lo_mid", "lo_right"),
+    meta_fields=("n",),
+)
+@_dataclasses.dataclass(frozen=True)
+class BTFFStencil:
+    """A float-float block-tridiagonal operator on a UNIFORM mesh, stored as
+    translation-invariant stencils instead of (bs, bs, n) streams.
+
+    Away from the first/last ``bw`` block columns every block of the operator
+    is identical (see ``models.stencil_setup``), so the defect can contract
+    with ONE (bs, bs) block broadcast over the whole element axis — the
+    operator contributes zero HBM traffic and zero residency; only x, b and r
+    move.  At the 10^8-DoF north star this removes ~4 GB of fine-level
+    arrays and makes the float-float defect ~3x faster than streaming the
+    materialized pair.
+
+    ``left``/``right`` hold the ``bw`` boundary columns, ``mid`` one interior
+    column, each as an (hi, lo) pair of BlockTridiags; ``n`` is the full
+    element count (static).  Values equal the materialized split bit-for-bit,
+    so :func:`ff_defect` on this type matches :func:`ff_bt_defect` on the
+    materialized pair except the boundary seam columns, which are recomputed
+    with the exact boundary blocks (asserted in ``tests/test_stencil_setup``).
+    """
+
+    hi_left: BlockTridiag  # (bs, bs, bw)
+    hi_mid: BlockTridiag  # (bs, bs, 1)
+    hi_right: BlockTridiag  # (bs, bs, bw)
+    lo_left: BlockTridiag
+    lo_mid: BlockTridiag
+    lo_right: BlockTridiag
+    n: int
+
+
+def _bt_broadcast(t: BlockTridiag, n: int) -> BlockTridiag:
+    b = lambda x: jnp.broadcast_to(x, x.shape[:-1] + (n,))  # noqa: E731
+    return BlockTridiag(lower=b(t.lower), diag=b(t.diag), upper=b(t.upper))
+
+
+def _bt_concat(parts: list[BlockTridiag]) -> BlockTridiag:
+    cat = lambda sel: jnp.concatenate([sel(p) for p in parts], axis=-1)  # noqa: E731
+    return BlockTridiag(
+        lower=cat(lambda t: t.lower), diag=cat(lambda t: t.diag),
+        upper=cat(lambda t: t.upper),
+    )
+
+
+def ff_bt_defect_stencil(a: BTFFStencil, x: FF, b: FF) -> FF:
+    """``r = b - A x`` where A lives as stencils (see :class:`BTFFStencil`).
+
+    One full-length fenced EFT pass with the broadcast mid blocks (XLA fuses
+    the broadcasts into the contraction — no operator materialization), then
+    the first/last ``bw`` columns are recomputed on small windows with the
+    exact boundary blocks and spliced in."""
+    bw = a.hi_left.diag.shape[-1]
+    n = a.n
+    mid_ff = BlockTridiagFF(_bt_broadcast(a.hi_mid, n), _bt_broadcast(a.lo_mid, n))
+    r = ff_bt_defect(mid_ff, x, b)
+
+    # boundary windows of width bw + 2: the defect needs the +-1 neighbor, so
+    # columns [0, bw] of the window are exact (col bw + 1 reads a zero-padded
+    # shift and is discarded)
+    w = bw + 2
+    hi_l = _bt_concat([a.hi_left, _bt_broadcast(a.hi_mid, w - bw)])
+    lo_l = _bt_concat([a.lo_left, _bt_broadcast(a.lo_mid, w - bw)])
+    xw = FF(x.hi[:, :w], x.lo[:, :w])
+    bww = FF(b.hi[:, :w], b.lo[:, :w])
+    r_l = ff_bt_defect(BlockTridiagFF(hi_l, lo_l), xw, bww)
+
+    hi_r = _bt_concat([_bt_broadcast(a.hi_mid, w - bw), a.hi_right])
+    lo_r = _bt_concat([_bt_broadcast(a.lo_mid, w - bw), a.lo_right])
+    xw = FF(x.hi[:, n - w :], x.lo[:, n - w :])
+    bww = FF(b.hi[:, n - w :], b.lo[:, n - w :])
+    r_r = ff_bt_defect(BlockTridiagFF(hi_r, lo_r), xw, bww)
+
+    def splice(full, left, right):
+        full = jax.lax.dynamic_update_slice(full, left[:, :bw], (0, 0))
+        return jax.lax.dynamic_update_slice(full, right[:, -bw:], (0, n - bw))
+
+    return FF(splice(r.hi, r_l.hi, r_r.hi), splice(r.lo, r_l.lo, r_r.lo))
+
+
 class CgBandFF(NamedTuple):
     """An assembled CG DIA band (see ops.cg_operator) with float-float entries."""
 
@@ -216,10 +326,8 @@ def ff_cg_defect(a: CgBandFF, x: FF, b: FF) -> FF:
     for off in range(-p, p + 1):
         band = FF(a.hi[off + p], a.lo[off + p])
         xs = FF(shift(x.hi, off), shift(x.lo, off))
-        t = ff_mul(band, xs)
-        t = FF(*jax.lax.optimization_barrier((t.hi, t.lo)))
-        acc = ff_add(acc, ff_neg(t))
-        acc = FF(*jax.lax.optimization_barrier((acc.hi, acc.lo)))
+        t = _fence(ff_mul(band, xs))
+        acc = _fence(ff_add(acc, ff_neg(t)))
     return acc
 
 
@@ -227,6 +335,8 @@ def ff_defect(a, x: FF, b: FF) -> FF:
     """Dispatch ``r = b - A x`` on the float-float operator type."""
     if isinstance(a, BlockTridiagFF):
         return ff_bt_defect(a, x, b)
+    if isinstance(a, BTFFStencil):
+        return ff_bt_defect_stencil(a, x, b)
     if isinstance(a, BlockPentaFF):
         return ff_bp5_defect(a, x, b)
     if isinstance(a, CgBandFF):

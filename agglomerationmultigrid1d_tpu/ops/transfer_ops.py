@@ -62,15 +62,33 @@ def block_prolong_constant(e: jax.Array, n: int) -> BlockProlong:
 
 
 def bp_prolong(l: BlockProlong, xc: jax.Array) -> jax.Array:
-    """``(bs_c, n_c) -> (bs_f, r * n_c)``."""
-    out = jnp.einsum("jibn,bn->inj", l.blocks, xc)  # (bs_f, n_c, r)
-    return out.reshape(l.bs_fine, l.n_coarse * l.r)
+    """``(bs_c, n_c) -> (bs_f, r * n_c)``.
+
+    Per-offset contractions interleaved onto the fine axis with native
+    interior padding (``lax.pad``) — NOT an ``(bs_f, n_c, r)`` einsum +
+    reshape: that intermediate puts ``r`` (2 or 4) on the 128-wide TPU lane
+    axis, and its tiled layout pads it 128/r-fold (a 12 GB allocation at the
+    1e8-DoF north star for the r = 4 fine transfer)."""
+    r = l.r
+    zero = jnp.zeros((), xc.dtype)
+    out = None
+    for j in range(r):
+        oj = jnp.einsum("ibn,bn->in", l.blocks[j], xc)  # (bs_f, n_c)
+        pj = jax.lax.pad(oj, zero, [(0, 0, 0), (j, r - 1 - j, r - 1)])
+        out = pj if out is None else out + pj
+    return out
 
 
 def bp_restrict(l: BlockProlong, rf: jax.Array) -> jax.Array:
-    """``L^T rf``: ``(bs_f, r * n_c) -> (bs_c, n_c)``."""
-    rg = rf.reshape(l.bs_fine, l.n_coarse, l.r)
-    return jnp.einsum("jibn,inj->bn", l.blocks, rg)
+    """``L^T rf``: ``(bs_f, r * n_c) -> (bs_c, n_c)`` (strided lane slices per
+    offset — the adjoint of :func:`bp_prolong`'s interior padding; same
+    no-(…, n_c, r)-intermediate rationale)."""
+    out = None
+    for j in range(l.r):
+        rj = rf[:, j :: l.r]  # (bs_f, n_c)
+        oj = jnp.einsum("ibn,in->bn", l.blocks[j], rj)
+        out = oj if out is None else out + oj
+    return out
 
 
 def _sandwich(ba: jax.Array, m: jax.Array, bb: jax.Array) -> jax.Array:

@@ -72,15 +72,86 @@ def _halo_matvec(ad, al, au, x, axis):
     return y
 
 
+# strip width for the overlapped path: wide enough for the kernel's minimum
+# 2-tile launch at tile = HALO (W % 128 == 0, W >= 2 * 128, W not a power of
+# two so _pick_tile lands on 128)
+_STRIP_W = 5 * HALO
+
+
+def _strip_ghosts(ops, x, b, gops, gvec, lo: int, n: int):
+    """Ghost arrays for the edge-strip kernel on columns [lo, lo + W): the
+    outer side takes the true ppermute ghost, the inner side the adjacent
+    local columns."""
+    W = _STRIP_W
+    if lo == 0:
+        inner = slice(W, W + HALO)
+        g_op = [jnp.concatenate([gops[s, ..., :HALO], op[..., inner]], axis=-1)
+                for s, op in enumerate(ops)]
+        g_x = jnp.concatenate([gvec[0, :, :HALO], x[:, inner]], axis=-1)
+        g_b = jnp.concatenate([gvec[1, :, :HALO], b[:, inner]], axis=-1)
+    else:
+        inner = slice(lo - HALO, lo)
+        g_op = [jnp.concatenate([op[..., inner], gops[s, ..., HALO:]], axis=-1)
+                for s, op in enumerate(ops)]
+        g_x = jnp.concatenate([x[:, inner], gvec[0, :, HALO:]], axis=-1)
+        g_b = jnp.concatenate([b[:, inner], gvec[1, :, HALO:]], axis=-1)
+    return jnp.stack(g_op), jnp.stack([g_x, g_b])
+
+
+def _overlap_splice(res_int, res_l, res_r, n: int, n_steps: int, emit_residual):
+    """Replace the interior pass's shard-edge columns (computed with zero
+    ghosts, hence corrupted ``n_steps`` columns deep — one more for the
+    emitted residual) with the ghost-exact strip values."""
+    s = n_steps + 1
+    dus = jax.lax.dynamic_update_slice
+
+    def one(full, left, right):
+        full = dus(full, left[:, :s], (0, 0))
+        return dus(full, right[:, -s:], (0, n - s))
+
+    if emit_residual:
+        return one(res_int[0], res_l[0], res_r[0]), one(res_int[1], res_l[1], res_r[1])
+    return one(res_int, res_l, res_r)
+
+
 def _local_multisweep(
     ad, al, au, binv, ml, mu, x, b,
-    *, axis, n_sweeps, alpha, emit_residual, use_pallas, interpret,
+    *, axis, n_sweeps, alpha, emit_residual, use_pallas, interpret, overlap=True,
 ):
     bs, n_local = x.shape
     if use_pallas and n_local >= 2 * HALO and multisweep_shapes_ok(bs, n_local, x.dtype, n_sweeps):
         ops = (ml, mu, binv) + ((ad,) if emit_residual else ())
-        ghosts = _gather_ghosts(ops, x, b, axis)
         a = BlockTridiag(lower=al, diag=ad, upper=au)
+        W = _STRIP_W
+        if overlap and n_local >= 2 * W + HALO:
+            # overlapped schedule: the full-shard kernel runs with ZERO ghosts
+            # (no data dependence on the ppermutes, so XLA's async collective-
+            # permute can fly while it computes); the shard-edge columns it
+            # corrupts are recomputed by two tiny ghost-exact strip kernels
+            # and spliced in.
+            res_int = _multisweep_impl(
+                a, binv, x, b, n_sweeps, alpha, interpret, emit_residual,
+                ml=ml, mu=mu,
+            )
+            gops, gvec = _gather_ghosts(ops, x, b, axis)
+
+            def strip(lo):
+                sl = slice(lo, lo + W)
+                a_s = BlockTridiag(
+                    lower=al[..., sl], diag=ad[..., sl], upper=au[..., sl]
+                )
+                gh = _strip_ghosts(ops, x, b, gops, gvec, lo, n_local)
+                return _multisweep_impl(
+                    a_s, binv[..., sl], x[:, sl], b[:, sl], n_sweeps, alpha,
+                    interpret, emit_residual, ghosts=gh,
+                    ml=ml[..., sl], mu=mu[..., sl],
+                )
+
+            return _overlap_splice(
+                res_int, strip(0), strip(n_local - W), n_local, n_sweeps,
+                emit_residual,
+            )
+        ghosts = _gather_ghosts(ops, x, b, axis)
         return _multisweep_impl(
             a, binv, x, b, n_sweeps, alpha, interpret, emit_residual,
             ghosts=ghosts, ml=ml, mu=mu,
@@ -96,13 +167,39 @@ def _local_multisweep(
 
 def _local_cheb(
     coef, ad, al, au, binv, ml, mu, x, b,
-    *, axis, degree, emit_residual, use_pallas, interpret,
+    *, axis, degree, emit_residual, use_pallas, interpret, overlap=True,
 ):
     bs, n_local = x.shape
     if use_pallas and n_local >= 2 * HALO and multisweep_shapes_ok(bs, n_local, x.dtype, degree):
         ops = (ml, mu, binv) + ((ad,) if emit_residual else ())
-        ghosts = _gather_ghosts(ops, x, b, axis)
         a = BlockTridiag(lower=al, diag=ad, upper=au)
+        W = _STRIP_W
+        if overlap and n_local >= 2 * W + HALO:
+            # see _local_multisweep: zero-ghost full pass overlapped with the
+            # ppermutes, ghost-exact strips spliced over the edge columns
+            res_int = pallas_chebyshev_multisweep(
+                a, binv, x, b, coef, degree,
+                interpret=interpret, emit_residual=emit_residual, ml=ml, mu=mu,
+            )
+            gops, gvec = _gather_ghosts(ops, x, b, axis)
+
+            def strip(lo):
+                sl = slice(lo, lo + W)
+                a_s = BlockTridiag(
+                    lower=al[..., sl], diag=ad[..., sl], upper=au[..., sl]
+                )
+                gh = _strip_ghosts(ops, x, b, gops, gvec, lo, n_local)
+                return pallas_chebyshev_multisweep(
+                    a_s, binv[..., sl], x[:, sl], b[:, sl], coef, degree,
+                    interpret=interpret, emit_residual=emit_residual, ghosts=gh,
+                    ml=ml[..., sl], mu=mu[..., sl],
+                )
+
+            return _overlap_splice(
+                res_int, strip(0), strip(n_local - W), n_local, degree,
+                emit_residual,
+            )
+        ghosts = _gather_ghosts(ops, x, b, axis)
         return pallas_chebyshev_multisweep(
             a, binv, x, b, coef, degree,
             interpret=interpret, emit_residual=emit_residual, ghosts=ghosts,
@@ -150,12 +247,21 @@ def sharded_multisweep(
     interpret: bool = False,
     ml=None,
     mu=None,
+    overlap: bool = True,
 ):
     """``n_sweeps`` fused damped block-Jacobi sweeps on an element-sharded
     operator: the Pallas multisweep per shard + one 128-column ppermute halo
     per side (optionally also emitting ``r = b - A x_new``).  ``ml``/``mu``
     are the setup-time M-form streams (``S^-1 A_lower/upper``); computed here
-    (sharded, elementwise — no communication) when not supplied."""
+    (sharded, elementwise — no communication) when not supplied.
+
+    ``overlap=True`` (default, large shards): the full-shard kernel launches
+    with zero ghosts — independent of the halo ppermutes, so XLA's async
+    collective-permute overlaps the exchange with ~all of the sweep compute —
+    and two ghost-exact 640-column strip kernels recompute the shard-edge
+    columns the zero ghosts corrupt (``n_steps`` deep; ``+1`` for the emitted
+    residual).  Identical results to the non-overlapped schedule up to f32
+    rounding of the recomputed edge columns."""
     ml, mu = _wrapper_mform(a, s_inv, ml, mu, use_pallas, x.dtype)
     m = P(None, None, axis)
     v = P(None, axis)
@@ -163,6 +269,7 @@ def sharded_multisweep(
         _local_multisweep,
         axis=axis, n_sweeps=n_sweeps, alpha=alpha,
         emit_residual=emit_residual, use_pallas=use_pallas, interpret=interpret,
+        overlap=overlap,
     )
     return jax.shard_map(
         fn, mesh=mesh,
@@ -187,8 +294,10 @@ def sharded_chebyshev_multisweep(
     interpret: bool = False,
     ml=None,
     mu=None,
+    overlap: bool = True,
 ):
-    """Degree-``degree`` Chebyshev smoothing, sharded (see sharded_multisweep)."""
+    """Degree-``degree`` Chebyshev smoothing, sharded (see sharded_multisweep,
+    including the overlapped halo-exchange schedule)."""
     ml, mu = _wrapper_mform(a, s_inv, ml, mu, use_pallas, x.dtype)
     m = P(None, None, axis)
     v = P(None, axis)
@@ -196,6 +305,7 @@ def sharded_chebyshev_multisweep(
         _local_cheb,
         axis=axis, degree=degree,
         emit_residual=emit_residual, use_pallas=use_pallas, interpret=interpret,
+        overlap=overlap,
     )
     return jax.shard_map(
         fn, mesh=mesh,

@@ -297,64 +297,60 @@ def bench_sweep_numpy(n_el: int, p: int = 3, iters: int = 5):
     return nnz / dt
 
 
-def bench_mixed_solve(n: int):
-    """Mixed-precision full multigrid solve to 1e-10 relative residual."""
-    from agglomerationmultigrid1d_tpu.models.problems import poisson_dg_hierarchy
+def _timed_mixed_solve(prob, name: str, cheb: bool, maxiter: int):
+    """Steady-state timing of the guarded mixed-precision solve on ``prob``,
+    optionally Chebyshev-wrapping every smoother first (reported side by side
+    so the Chebyshev gain over the reference's fixed-damping sweeps,
+    ``solvers.jl:32-35``, is a measured number, not a README claim)."""
+    from agglomerationmultigrid1d_tpu.models.hierarchy import chebyshev_hierarchy
     from agglomerationmultigrid1d_tpu.models.solvers import (
         make_low_precision_hierarchy,
         multigrid_mixed,
     )
 
-    from agglomerationmultigrid1d_tpu.models.hierarchy import chebyshev_hierarchy
+    h = chebyshev_hierarchy(prob.hierarchy) if cheb else prob.hierarchy
+    h32 = make_low_precision_hierarchy(h)
+    b = prob.b
+    t0 = time.time()
+    res = multigrid_mixed(h, h32, jnp.zeros_like(b), b, maxiter, 1e-10)
+    log(f"{name} compile+run: {time.time()-t0:.1f}s, cycles={int(res.inner_cycles)}")
+    t0 = time.time()
+    res = multigrid_mixed(h, h32, jnp.zeros_like(b), b, maxiter, 1e-10)
+    dt = time.time() - t0
+    it = int(res.iterations)
+    cyc = int(res.inner_cycles)
+    nb = float(jnp.linalg.norm(b.T.reshape(-1) if b.ndim > 1 else b))
+    rel = float(np.asarray(res.res_history)[it - 1]) / nb
+    log(f"{name} steady: {dt:.3f}s, {cyc} V-cycles in {it} refinements, rel res {rel:.1e}")
+    return dt, cyc
+
+
+def bench_mixed_solve(n: int):
+    """Mixed-precision full multigrid solve to 1e-10 relative residual, with
+    plain damped-Jacobi sweeps and with Chebyshev smoothing."""
+    from agglomerationmultigrid1d_tpu.models.problems import poisson_dg_hierarchy
 
     n_agg = max(int(np.log2(n // 4)) - 5, 1)  # coarsen to ~64 agglomerates
     t0 = time.time()
     prob = poisson_dg_hierarchy(n=n, max_p=3, n_dg=2, n_agg=n_agg)
     log(f"mixed-solve setup: {time.time()-t0:.1f}s, levels={prob.hierarchy.n_levels}, dof={prob.b.size}")
-    prob = dataclasses.replace(prob, hierarchy=chebyshev_hierarchy(prob.hierarchy))
-    h32 = make_low_precision_hierarchy(prob.hierarchy)
-    b = prob.b
-    t0 = time.time()
-    res = multigrid_mixed(prob.hierarchy, h32, jnp.zeros_like(b), b, 80, 1e-10)
-    log(f"mixed solve compile+run: {time.time()-t0:.1f}s, cycles={int(res.inner_cycles)}")
-    t0 = time.time()
-    res = multigrid_mixed(prob.hierarchy, h32, jnp.zeros_like(b), b, 80, 1e-10)
-    dt = time.time() - t0
-    it = int(res.iterations)
-    cyc = int(res.inner_cycles)
-    nb = float(jnp.linalg.norm(b.T.reshape(-1)))
-    rel = float(np.asarray(res.res_history)[it - 1]) / nb
-    log(f"mixed solve steady: {dt:.3f}s, {cyc} V-cycles in {it} refinements, rel res {rel:.1e}")
-    return dt, cyc, prob.b.size
+    dt, cyc = _timed_mixed_solve(prob, "mixed solve", cheb=False, maxiter=80)
+    dt_c, cyc_c = _timed_mixed_solve(prob, "mixed solve (cheb)", cheb=True, maxiter=80)
+    return dt, cyc, dt_c, cyc_c, prob.b.size
 
 
 def bench_flagship_solve(n: int):
     """Flagship CG-topped full hierarchy (cf. full_heirarchy_test.jl) solved to
     1e-10 relative residual with the guarded mixed / progressive-precision
-    solver."""
+    solver — plain and Chebyshev-smoothed."""
     from agglomerationmultigrid1d_tpu.models.problems import poisson_full_hierarchy
-    from agglomerationmultigrid1d_tpu.models.solvers import (
-        make_low_precision_hierarchy,
-        multigrid_mixed,
-    )
-
-    from agglomerationmultigrid1d_tpu.models.hierarchy import chebyshev_hierarchy
 
     t0 = time.time()
     prob = poisson_full_hierarchy(n=n)
-    prob = dataclasses.replace(prob, hierarchy=chebyshev_hierarchy(prob.hierarchy))
-    h32 = make_low_precision_hierarchy(prob.hierarchy)
     log(f"flagship setup: {time.time()-t0:.1f}s, dof={prob.b.size}")
-    b = prob.b
-    res = multigrid_mixed(prob.hierarchy, h32, jnp.zeros_like(b), b, 60, 1e-10)
-    t0 = time.time()
-    res = multigrid_mixed(prob.hierarchy, h32, jnp.zeros_like(b), b, 60, 1e-10)
-    dt = time.time() - t0
-    it = int(res.iterations)
-    nb = float(jnp.linalg.norm(b))
-    rel = float(np.asarray(res.res_history)[it - 1]) / nb
-    log(f"flagship solve: {dt:.3f}s, {int(res.inner_cycles)} cycles, rel res {rel:.1e}")
-    return dt, int(res.inner_cycles), prob.b.size
+    dt, cyc = _timed_mixed_solve(prob, "flagship solve", cheb=False, maxiter=60)
+    dt_c, cyc_c = _timed_mixed_solve(prob, "flagship solve (cheb)", cheb=True, maxiter=60)
+    return dt, cyc, dt_c, cyc_c, prob.b.size
 
 
 def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
@@ -385,7 +381,7 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
     )
     z = default_stencil_factor(spec, n_el)
     t0 = time.time()
-    h32, a_ff, b_ff, norm_b = build_xl_problem(spec, n_el, z=z)
+    h32, a_ff, b_ff, norm_b = build_xl_problem(spec, n_el, z=z, slim_fine=True)
     jax.block_until_ready(h32.levels[0].a)
     out["xl_setup_s"] = round(time.time() - t0, 1)
     log(f"XL stencil setup ({n_el} el, {out['xl_dof']:.3g} DoF, {n_agg+1} levels, "
@@ -406,6 +402,7 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
     out["xl_sweep_gnnz_s"] = round(nnz / dt / 1e9, 1)
     log(f"XL fused multisweep at {out['xl_dof']:.3g} DoF: {dt*1e3:.3f} ms/sweep "
         f"-> {out['xl_sweep_gnnz_s']} GNNZ/s")
+    del x  # free the timed iterate before the solve (HBM is tight at 1e8 DoF)
 
     # guarded mixed-precision solve to tol (float-float defects on-chip)
     x_ff = FF(x0, jnp.zeros_like(x0))
@@ -487,16 +484,20 @@ def main():
         emit(result)
 
     def _flagship():
-        fl_time, fl_iters, fl_dof = bench_flagship_solve(1 << 10 if SMALL else 1 << 14)
-        result["flagship_solve_to_1e-10_s"] = round(fl_time, 3)
-        result["flagship_solve_cycles"] = fl_iters
-        result["flagship_solve_dof"] = fl_dof
+        fl = bench_flagship_solve(1 << 10 if SMALL else 1 << 14)
+        result["flagship_solve_to_1e-10_s"] = round(fl[0], 3)
+        result["flagship_solve_cycles"] = fl[1]
+        result["flagship_solve_cheb_to_1e-10_s"] = round(fl[2], 3)
+        result["flagship_solve_cheb_cycles"] = fl[3]
+        result["flagship_solve_dof"] = fl[4]
 
     def _mixed():
-        mx_time, mx_iters, mx_dof = bench_mixed_solve(1 << 12 if SMALL else 1 << 19)
-        result["mixed_solve_to_1e-10_s"] = round(mx_time, 3)
-        result["mixed_solve_iterations"] = mx_iters
-        result["mixed_solve_dof"] = mx_dof
+        mx = bench_mixed_solve(1 << 12 if SMALL else 1 << 19)
+        result["mixed_solve_to_1e-10_s"] = round(mx[0], 3)
+        result["mixed_solve_iterations"] = mx[1]
+        result["mixed_solve_cheb_to_1e-10_s"] = round(mx[2], 3)
+        result["mixed_solve_cheb_iterations"] = mx[3]
+        result["mixed_solve_dof"] = mx[4]
 
     def _xl():
         # default 5.03e7 elements = 1.006e8 DoF at p=1 (the BASELINE north-star
@@ -504,9 +505,11 @@ def main():
         xl_el = int(os.environ.get("AGGMG_BENCH_XL_EL", str(1 << 16 if SMALL else 3 << 24)))
         result.update(bench_xl_solve(xl_el))
 
-    stage("flagship_solve", 60 if SMALL else 150, _flagship)
-    stage("mixed_solve", 60 if SMALL else 180, _mixed)
-    stage("xl_solve", 60 if SMALL else 300, _xl)
+    # XL (the north-star 1e8-DoF problem) gets priority over the smaller
+    # solve stages; each solve stage now times plain AND chebyshev variants
+    stage("xl_solve", 60 if SMALL else 420, _xl)
+    stage("flagship_solve", 120 if SMALL else 260, _flagship)
+    stage("mixed_solve", 120 if SMALL else 320, _mixed)
     emit(result)
 
 

@@ -177,8 +177,12 @@ def test_parity_full_hierarchy():
 
     res = multigrid(prob.hierarchy, jnp.zeros_like(prob.b), prob.b, 200, 1e-10)
     it = int(res.iterations)
+    # rtol catches algorithmic drift; the atol floor absorbs f64 reduction-
+    # order noise (different-but-equivalent transfer formulations perturb the
+    # late history by ~1e-13 * ||b||)
     np.testing.assert_allclose(
         np.asarray(res.res_history)[:it], FULL_N32_RES_HISTORY, rtol=1e-6,
+        atol=1e-13 * np.linalg.norm(np.asarray(prob.b)),
         err_msg="flagship residual history drifted from the stored golden fixture",
     )
 

@@ -123,6 +123,35 @@ def test_sharded_cheb_pallas_ghosts_match(rng):
     )
 
 
+@pytest.mark.parametrize("emit_residual", [False, True])
+def test_overlap_schedule_matches_blocking(rng, emit_residual):
+    """The overlapped halo schedule (zero-ghost full pass + ghost-exact edge
+    strips, ppermutes concurrent) must equal the blocking schedule (ghosts
+    before the kernel) to f32 rounding of the recomputed edge columns."""
+    bs, n = 4, 8 * 16384
+    a, inv, x, b = _random_system(rng, bs, n, jnp.float32)
+    mesh = make_solver_mesh(8)
+    kw = dict(n_sweeps=3, alpha=2.0 / 3.0, emit_residual=emit_residual,
+              use_pallas=True, interpret=True)
+    out_o = sharded_multisweep(mesh, "x", a, inv, x, b, overlap=True, **kw)
+    out_b = sharded_multisweep(mesh, "x", a, inv, x, b, overlap=False, **kw)
+    if not emit_residual:
+        out_o, out_b = (out_o,), (out_b,)
+    for yo, yb in zip(out_o, out_b):
+        np.testing.assert_allclose(np.asarray(yo), np.asarray(yb), atol=2e-5)
+
+    coef = chebyshev_coefficients(0.2, 2.0, 3)
+    co = sharded_chebyshev_multisweep(
+        mesh, "x", a, inv, x, b, coef, degree=3, use_pallas=True,
+        interpret=True, overlap=True,
+    )
+    cb = sharded_chebyshev_multisweep(
+        mesh, "x", a, inv, x, b, coef, degree=3, use_pallas=True,
+        interpret=True, overlap=False,
+    )
+    np.testing.assert_allclose(np.asarray(co), np.asarray(cb), atol=2e-5)
+
+
 def test_sharded_cheb_xla_fallback_matches(rng):
     bs, n = 3, 256
     a, inv, x, b = _random_system(rng, bs, n, jnp.float64)

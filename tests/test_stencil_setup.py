@@ -156,6 +156,58 @@ def test_inflated_solve_converges():
     assert cycles <= 40
 
 
+def test_slim_fine_defect_and_solve():
+    """slim_fine mode: the stencil float-float defect must match the
+    materialized-pair defect exactly away from the boundary seams (and to
+    f64-jitter at them), the slim fine level's M-form matvec must approximate
+    A x to f32 rounding, and the guarded solve must converge identically."""
+    from agglomerationmultigrid1d_tpu.models.solvers import level_matvec
+    from agglomerationmultigrid1d_tpu.ops.df64 import ff_defect
+
+    n = 4096
+    spec = _dg_spec(n)
+    h_s, a_s, b_s, norm_s = build_xl_problem(spec, n, z=8, chebyshev=True,
+                                             slim_fine=True)
+    h_f, a_f, b_f, norm_f = build_xl_problem(spec, n, z=8, chebyshev=True)
+
+    # slim level carries no off-diagonals; the full one does
+    assert h_s.levels[0].a.lower.size == 0
+    assert h_f.levels[0].a.lower.size > 0
+
+    rng = np.random.default_rng(3)
+    xh = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+    x = FF(xh, jnp.zeros_like(xh))
+    r_s = ff_defect(a_s, x, b_s)
+    r_f = ff_defect(a_f, x, b_f)
+    val_s = np.asarray(r_s.hi, np.float64) + np.asarray(r_s.lo, np.float64)
+    val_f = np.asarray(r_f.hi, np.float64) + np.asarray(r_f.lo, np.float64)
+    np.testing.assert_allclose(
+        val_s, val_f, rtol=0, atol=1e-12 * float(np.abs(val_f).max())
+    )
+
+    # M-form matvec of the slim level ~ true A x to f32 rounding
+    y_s = np.asarray(level_matvec(h_s.levels[0], xh))
+    from agglomerationmultigrid1d_tpu.ops.block_tridiag import bt_matvec
+
+    y_f = np.asarray(bt_matvec(h_f.levels[0].a, xh))
+    np.testing.assert_allclose(y_s, y_f, rtol=0, atol=3e-6 * float(np.abs(y_f).max()))
+
+    def run(h, a_ff, b_ff, norm_b):
+        x_ff = FF(jnp.zeros_like(b_ff.hi), jnp.zeros_like(b_ff.hi))
+        res = _mixed_loop_ff(
+            h, a_ff, x_ff, b_ff, jnp.asarray(1.0 / norm_b, jnp.float32),
+            maxiter=100, tol=1e-10, inner_tol=3.0e-5, max_inner=20,
+            n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=False,
+        )
+        it = int(res[1])
+        return int(res[2]), float(np.asarray(res[3])[it - 1])
+
+    cyc_s, rel_s = run(h_s, a_s, b_s, norm_s)
+    cyc_f, rel_f = run(h_f, a_f, b_f, norm_f)
+    assert rel_s < 1e-10 and rel_f < 1e-10
+    assert abs(cyc_s - cyc_f) <= 3, (cyc_s, cyc_f)
+
+
 def test_inflate_f64_identity_roundtrip():
     """Inflating an f64 hierarchy by its own z against a direct f64 build of
     the same size is exact (the generic inflation entry point)."""

@@ -117,13 +117,42 @@ def main() -> int:
             mesh, "x", a, i, x, b, n_sweeps=3, alpha=alpha, use_pallas=True
         )
     )(a, inv, x, b)
-    check("sharded_multisweep(3)", xs, x3_ref)
+    check("sharded_multisweep(3) [overlap]", xs, x3_ref)
+    xs_b = jax.jit(
+        lambda a, i, x, b: sharded_multisweep(
+            mesh, "x", a, i, x, b, n_sweeps=3, alpha=alpha, use_pallas=True,
+            overlap=False,
+        )
+    )(a, inv, x, b)
+    check("sharded_multisweep(3) [blocking]", xs_b, x3_ref)
+    check("overlap == blocking", xs, xs_b, rtol=3e-6)
     xcs = jax.jit(
         lambda a, i, x, b: sharded_chebyshev_multisweep(
             mesh, "x", a, i, x, b, coef, degree=3, use_pallas=True
         )
     )(a, inv, x, b)
     check("sharded_chebyshev_multisweep(3)", xcs, xc_ref)
+
+    # float-float defect accuracy WITHOUT the CPU-only optimization_barrier
+    # fences (ops.df64._use_barriers): XLA:TPU must preserve the error-free
+    # transforms — the defect of a random system must match the f64 reference
+    # to ~2^-40, far past f32's 2^-24 (a reassociation regression lands ~1e-7)
+    print("float-float defect (unfenced on this backend):")
+    from agglomerationmultigrid1d_tpu.ops.df64 import bt_split, ff_bt_defect, ff_split
+
+    a64 = BlockTridiag(*(jnp.asarray(np.asarray(m), jnp.float64) for m in a))
+    x64 = jnp.asarray(np.asarray(x), jnp.float64) * (1.0 + 1e-9)
+    b64 = jnp.asarray(np.asarray(b), jnp.float64)
+    r64 = np.asarray(b64 - bt_matvec(a64, x64))
+    a_ff = bt_split(a64)
+    r_ff = jax.jit(ff_bt_defect)(a_ff, ff_split(x64), ff_split(b64))
+    r_val = np.asarray(r_ff.hi, np.float64) + np.asarray(r_ff.lo, np.float64)
+    scale = float(np.abs(b64).max())
+    err = float(np.abs(r_val - r64).max()) / scale
+    ok = err < 1e-10
+    print(f"  {'ff_bt_defect vs f64':42s} rel err {err:9.2e}  {'OK' if ok else 'FAIL'}")
+    if not ok:
+        FAILS.append("ff_bt_defect")
 
     if FAILS:
         print(f"FAILED: {len(FAILS)} kernel(s): {FAILS}")
