@@ -19,5 +19,11 @@ from .agg_assembly import (
     agg_gradient,
     agg_load_vector,
 )
+from .scattered_assembly import (
+    scattered_flux_operators,
+    scattered_flux_rhs,
+    scattered_load_vector,
+    scattered_schur,
+)
 
 __all__ = [name for name in dir() if not name.startswith("_")]

@@ -9,6 +9,11 @@ from .topology import (
 from .cg_mesh import CgMesh, make_cg_mesh
 from .dg_mesh import DgMesh, make_dg_mesh
 from .agg_mesh import AggMesh, coarsen_agg_mesh, make_agg_mesh
+from .scattered_agg import (
+    ScatteredAggMesh,
+    coarsen_scattered_agg_mesh,
+    make_scattered_agg_mesh,
+)
 
 __all__ = [
     "DIRICHLET",
@@ -24,4 +29,7 @@ __all__ = [
     "AggMesh",
     "make_agg_mesh",
     "coarsen_agg_mesh",
+    "ScatteredAggMesh",
+    "make_scattered_agg_mesh",
+    "coarsen_scattered_agg_mesh",
 ]

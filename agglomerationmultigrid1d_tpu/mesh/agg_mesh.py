@@ -138,8 +138,9 @@ def _normalize_partition(n_base: int, partition) -> np.ndarray:
                 raise ValueError(
                     "agglomerates must be contiguous, in-order runs of base element "
                     f"ids (group starting at {expect} got {ids.tolist()}); "
-                    "non-contiguous agglomerates would break the 1D block-tridiagonal "
-                    "operator structure"
+                    "non-contiguous agglomerates break the 1D block-tridiagonal "
+                    "operator structure — use make_scattered_agg_mesh (block-COO "
+                    "operators) for arbitrary partitions"
                 )
             sizes.append(ids.size)
             expect += ids.size

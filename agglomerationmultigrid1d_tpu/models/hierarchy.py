@@ -28,6 +28,7 @@ from ..assembly.dg_assembly import dg_flux_operators
 from ..mesh.agg_mesh import AggMesh
 from ..mesh.cg_mesh import CgMesh
 from ..mesh.dg_mesh import DgMesh
+from ..mesh.scattered_agg import ScatteredAggMesh
 from ..mesh.topology import BoundaryCondition
 from ..ops.block_diag import BlockDiag
 from ..ops.block_tridiag import (
@@ -166,6 +167,16 @@ def _coarse_lu(level: Level) -> CoarseSolver:
 
             return make_penta_coarse_solver(level.a)
         return make_coarse_solver(bp5_to_dense(level.a))
+    from ..ops.block_coo import BlockCOO, bcoo_to_dense
+
+    if isinstance(level.a, BlockCOO):
+        if level.a.n_dof > MAX_COARSE_DOF:
+            raise ValueError(
+                f"coarsest scattered level has {level.a.n_dof} DoF "
+                f"(> {MAX_COARSE_DOF}); its general sparsity has no banded "
+                "elimination — add more (scattered) coarsening levels"
+            )
+        return make_coarse_solver(bcoo_to_dense(level.a))
     if level.a.n_dof > DENSE_COARSE_MAX:
         # block cyclic reduction: O(n bs^2) memory, no size cliff (the
         # TPU-native stand-in for the reference's any-size UMFPACK coarse
@@ -289,6 +300,43 @@ def build_dg_hierarchy(
     for i in range(1, len(meshes)):
         fine_mesh, mesh = meshes[i - 1], meshes[i]
         prev = levels[-1]
+        if isinstance(mesh, ScatteredAggMesh):
+            from ..assembly.scattered_assembly import scattered_schur
+            from ..transfer.scattered_transfer import (
+                scattered_dg_interpolation,
+                scattered_galerkin,
+                scattered_scattered_interpolation,
+            )
+
+            if isinstance(fine_mesh, DgMesh):
+                l = scattered_dg_interpolation(mesh, fine_mesh)
+            elif isinstance(fine_mesh, (ScatteredAggMesh, AggMesh)):
+                l = scattered_scattered_interpolation(mesh, fine_mesh)
+            else:
+                raise TypeError(
+                    "a scattered agglomeration level must follow a DG or "
+                    "agglomerated level"
+                )
+            gc = scattered_galerkin(l, prev.g)
+            dc = scattered_galerkin(l, prev.d)
+            cc = scattered_galerkin(l, prev.c)
+            ac = scattered_schur(gc, dc, cc, mesh.mass_inv)
+            levels.append(
+                BlockLevel(
+                    a=ac, g=gc, d=dc, c=cc, mass_inv=mesh.mass_inv.blocks,
+                    smoother=dg_smoother(ac, "blockJac"),
+                )
+            )
+            transfers.append(l)
+            continue
+        from ..ops.block_coo import BlockCOO as _BCOO
+
+        if isinstance(prev.g, _BCOO):
+            raise TypeError(
+                "a contiguous level cannot follow a scattered level (its "
+                "operators are general block-COO); keep the remaining levels "
+                "scattered (coarsen_scattered_agg_mesh)"
+            )
         if isinstance(mesh, DgMesh):
             l = dg_dg_interpolation(mesh, fine_mesh)
         elif isinstance(mesh, AggMesh):
@@ -297,7 +345,7 @@ def build_dg_hierarchy(
             else:
                 l = aggdg_aggdg_interpolation(mesh, fine_mesh)
         else:
-            raise TypeError("DG-topped hierarchies take DG/Agg meshes only")
+            raise TypeError("DG-topped hierarchies take DG/Agg/Scattered meshes only")
         gc = _block_galerkin(l, prev.g)
         dc = _block_galerkin(l, prev.d)
         cc = _block_galerkin(l, prev.c)
@@ -320,7 +368,12 @@ def strip_hierarchy(h: Hierarchy) -> Hierarchy:
     the accelerator."""
     def _strip(lv):
         if isinstance(lv, BlockLevel):
-            e = jnp.zeros((0, 0, 0), dtype=lv.a.diag.dtype)
+            from ..ops.block_coo import BlockCOO
+
+            a_dtype = (
+                lv.a.blocks.dtype if isinstance(lv.a, BlockCOO) else lv.a.diag.dtype
+            )
+            e = jnp.zeros((0, 0, 0), dtype=a_dtype)
             empty = BlockTridiag(e, e, e)
             return lv._replace(g=empty, d=empty, c=empty, mass_inv=e)
         return lv
@@ -392,7 +445,14 @@ def chebyshev_hierarchy(
             if isinstance(level, CgLevel)
             else (level.a.block_size, level.a.n_blocks)
         )
-        dtype = level.a.band.dtype if isinstance(level, CgLevel) else level.a.diag.dtype
+        from ..ops.block_coo import BlockCOO
+
+        if isinstance(level, CgLevel):
+            dtype = level.a.band.dtype
+        elif isinstance(level.a, BlockCOO):
+            dtype = level.a.blocks.dtype
+        else:
+            dtype = level.a.diag.dtype
         x0 = jnp.cos(1.7 * jnp.arange(np.prod(shape), dtype=dtype)).reshape(shape) + 0.5
         lam = _power_lam(level, x0, power_iters)
         s = ChebyshevSmoother(

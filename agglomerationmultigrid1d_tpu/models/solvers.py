@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.block_penta import BlockPenta, bp5_matvec
+from ..ops.block_coo import BlockCOO, bcoo_matvec
 from ..ops.block_tridiag import BlockTridiag, bt_matvec
 from ..ops.cg_operator import cg_matvec
 from ..ops.coarse_solve import coarse_solve
@@ -34,6 +35,7 @@ from ..ops.transfer_ops import (
     seam_prolong,
     seam_restrict,
 )
+from ..transfer.scattered_transfer import ScatteredProlong, sp_prolong, sp_restrict
 from ..smoothers.smoother import apply_smoother
 from .hierarchy import BlockLevel, CgLevel, Hierarchy
 
@@ -73,6 +75,8 @@ def level_matvec(level, x):
         return cg_matvec(level.a, x)
     if isinstance(level.a, BlockPenta):
         return bp5_matvec(level.a, x)
+    if isinstance(level.a, BlockCOO):
+        return bcoo_matvec(level.a, x)
     if _is_slim_bt(level):
         return _mform_matvec(level, x)
     return bt_matvec(level.a, x)
@@ -87,6 +91,8 @@ def transfer_prolong(l, xc):
         return rbp_prolong(l, xc)
     if isinstance(l, SeamProlong):
         return seam_prolong(l, xc)
+    if isinstance(l, ScatteredProlong):
+        return sp_prolong(l, xc)
     raise TypeError(type(l))
 
 
@@ -99,6 +105,8 @@ def transfer_restrict(l, rf):
         return rbp_restrict(l, rf)
     if isinstance(l, SeamProlong):
         return seam_restrict(l, rf)
+    if isinstance(l, ScatteredProlong):
+        return sp_restrict(l, rf)
     raise TypeError(type(l))
 
 

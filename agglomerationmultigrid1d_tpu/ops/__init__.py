@@ -58,6 +58,18 @@ from .block_penta import (
     bt_as_penta,
     bt_mul_bt_full,
 )
+from .block_coo import (
+    BlockCOO,
+    bcoo_add,
+    bcoo_coalesce,
+    bcoo_diag_blocks,
+    bcoo_from_bt,
+    bcoo_matvec,
+    bcoo_matvec_t,
+    bcoo_scale_cols,
+    bcoo_spgemm,
+    bcoo_to_dense,
+)
 from .coarse_solve import (
     BTCoarseSolver,
     CoarseSolver,

@@ -140,8 +140,22 @@ def cg_smoother(a: CgOperator, kind: str = "jac") -> Smoother:
     raise ValueError(f"unknown CG smoother kind {kind!r}")
 
 
-def dg_smoother(a: BlockTridiag, kind: str = "blockJac") -> Smoother:
-    """Factory for DG / agglomerated levels (cf. ``smoother.jl:142-168``)."""
+def dg_smoother(a, kind: str = "blockJac") -> Smoother:
+    """Factory for DG / agglomerated levels (cf. ``smoother.jl:142-168``).
+
+    ``a`` is block-tridiagonal, block-pentadiagonal, or block-COO (scattered
+    agglomeration levels); the block-Jacobi data is the inverted diagonal
+    blocks in every case."""
+    from ..ops.block_coo import BlockCOO, bcoo_diag_blocks
+
+    if isinstance(a, BlockCOO):
+        d = bcoo_diag_blocks(a)
+        if kind == "jac":
+            bs = d.shape[0]
+            return JacobiSmoother(inv_diag=1.0 / jnp.stack([d[i, i] for i in range(bs)]))
+        if kind == "blockJac":
+            return BlockJacobiSmoother(inv=_invert_windows(d))
+        raise ValueError(f"unknown DG smoother kind {kind!r}")
     if kind == "jac":
         return JacobiSmoother(inv_diag=1.0 / bt_diagonal(a))
     if kind == "blockJac":

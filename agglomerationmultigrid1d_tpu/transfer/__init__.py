@@ -11,5 +11,13 @@ from .interpolation import (
     dg_cg_interpolation_dense,
     dg_dg_interpolation,
 )
+from .scattered_transfer import (
+    ScatteredProlong,
+    scattered_dg_interpolation,
+    scattered_galerkin,
+    scattered_scattered_interpolation,
+    sp_prolong,
+    sp_restrict,
+)
 
 __all__ = [name for name in dir() if not name.startswith("_")]
