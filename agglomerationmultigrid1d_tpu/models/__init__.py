@@ -18,6 +18,7 @@ from .problems import (
     poisson_dg_cg_hierarchy,
     poisson_dg_hierarchy,
     poisson_full_hierarchy,
+    poisson_scattered_hierarchy,
 )
 from .solvers import (
     make_low_precision_hierarchy,

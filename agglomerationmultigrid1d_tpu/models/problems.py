@@ -257,3 +257,63 @@ def poisson_full_hierarchy(
         c_dir=1000.0 * n if c_dir is None else c_dir,
     )
     return build_problem(spec, n, func, bc)
+
+
+@host_setup
+def poisson_scattered_hierarchy(
+    n: int = 64,
+    p_dg: int = 1,
+    groups_per_level: list | None = None,
+    p_agg: int = 1,
+    c_dir: float | None = None,
+    func: Callable | None = None,
+    bc: BoundaryCondition | None = None,
+    to_device: bool = True,
+) -> Problem:
+    """DG-topped hierarchy whose coarsening levels are SCATTERED (non-
+    contiguous) agglomerations from explicit element-id lists — the reference's
+    ``AgglomeratedDgMesh1(mP, agg::Vector{Vector{Int64}}, ...)`` workflow
+    (``agglomerated_dg_mesh.jl:400-495``) as a one-call constructor.
+
+    ``groups_per_level[0]`` partitions the base elements; each subsequent
+    entry partitions the previous level's AGGLOMERATES (recursive
+    ``AgglomeratedDgMeshN``).  Default: one level of locally interleaved
+    agglomerates (two 4-element runs per 16-element block).
+    """
+    from ..mesh.scattered_agg import (
+        coarsen_scattered_agg_mesh,
+        make_scattered_agg_mesh,
+    )
+
+    func_, u_ex, ux_ex = default_model_problem()
+    func = func or func_
+    bc = bc or _default_bc(u_ex, ux_ex)
+    c_dir = 1000.0 * n if c_dir is None else c_dir
+
+    if groups_per_level is None:
+        if n % 16:
+            raise ValueError("the default scattered partition needs 16 | n")
+        groups = []
+        for blk in range(n // 16):
+            o = 16 * blk
+            groups.append([o + i for i in (0, 1, 2, 3, 8, 9, 10, 11)])
+            groups.append([o + i for i in (4, 5, 6, 7, 12, 13, 14, 15)])
+        groups_per_level = [groups]
+
+    mesh = create_uniform_mesh(n, 0.0, 1.0)
+    dg = make_dg_mesh(mesh, p_dg)
+    meshes: list = [dg]
+    sa = make_scattered_agg_mesh(p_agg, mesh, groups_per_level[0])
+    meshes.append(sa)
+    for groups in groups_per_level[1:]:
+        sa = coarsen_scattered_agg_mesh(sa, groups)
+        meshes.append(sa)
+
+    g, d, c = dg_flux_operators(dg, bc, c_dir)
+    a = schur_stiffness(g, d, c, dg.mass_inv)
+    f, r = dg_flux_rhs(dg, func, bc, c_dir)
+    b = f - bt_matvec(d, bd_matvec(dg.mass_inv, r))
+    h = build_dg_hierarchy(meshes, a, g, d, c)
+    if not to_device:
+        return Problem(hierarchy=h, b=b, meshes=meshes, bc=bc)
+    return Problem(hierarchy=to_accelerator(h), b=to_accelerator(b), meshes=meshes, bc=bc)

@@ -400,8 +400,17 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
     dt = _time_chain(stepm, x, 30) / 3.0
     nnz = sweep_nnz(n_el, p_fine + 1)
     out["xl_sweep_gnnz_s"] = round(nnz / dt / 1e9, 1)
+    # bandwidth-normalized: the headline runs bs = 4 (p = 3) blocks, the north-
+    # star problem bs = 2 (p = 1), and per-nnz the bs = 2 operand mix moves
+    # ~4(1 + 2/(3 bs))/4.67 more bytes — GB/s (same byte model as the headline
+    # and the stream floor) is the size/block-size-independent comparison
+    from agglomerationmultigrid1d_tpu.ops.pallas.block_kernels import _pick_tile
+
+    xl_tile = _pick_tile(p_fine + 1, n_el, jnp.float32)
+    xl_bytes = _sweep_pass_bytes(n_el, p_fine + 1, tile=xl_tile)
+    out["xl_sweep_gbps"] = round(xl_bytes / (3.0 * dt) / 1e9, 1)
     log(f"XL fused multisweep at {out['xl_dof']:.3g} DoF: {dt*1e3:.3f} ms/sweep "
-        f"-> {out['xl_sweep_gnnz_s']} GNNZ/s")
+        f"-> {out['xl_sweep_gnnz_s']} GNNZ/s ({out['xl_sweep_gbps']} GB/s)")
     del x  # free the timed iterate before the solve (HBM is tight at 1e8 DoF)
 
     # guarded mixed-precision solve to tol (float-float defects on-chip)
@@ -504,6 +513,13 @@ def main():
         # problem size, single chip)
         xl_el = int(os.environ.get("AGGMG_BENCH_XL_EL", str(1 << 16 if SMALL else 3 << 24)))
         result.update(bench_xl_solve(xl_el))
+        if result.get("multisweep_gbps") and result.get("xl_sweep_gbps"):
+            # == 100 means the north-star sweep saturates the same HBM
+            # bandwidth as the bs = 4 headline; the GNNZ/s difference is the
+            # per-nnz byte mix of bs = 2 blocks, not a throughput cliff
+            result["xl_sweep_pct_of_headline_bw"] = round(
+                100.0 * result["xl_sweep_gbps"] / result["multisweep_gbps"], 1
+            )
 
     # XL (the north-star 1e8-DoF problem) gets priority over the smaller
     # solve stages; each solve stage now times plain AND chebyshev variants

@@ -432,3 +432,23 @@ def test_contiguous_below_scattered_rejected():
     agg2 = make_agg_mesh(1, mesh, r_base=8)
     with pytest.raises(TypeError, match="cannot follow a scattered"):
         build_dg_hierarchy([dg, sa1, agg2], a, g, d, c)
+
+
+def test_poisson_scattered_hierarchy_factory():
+    """One-call constructor: default locally-interleaved partition solves the
+    model problem to 1e-10 and matches the dense direct solution."""
+    from agglomerationmultigrid1d_tpu.models import (
+        multigrid as mg,
+        poisson_scattered_hierarchy,
+    )
+
+    prob = poisson_scattered_hierarchy(n=64)
+    assert len(prob.meshes) == 2 and not prob.meshes[1].is_contiguous
+    res = mg(prob.hierarchy, jnp.zeros_like(prob.b), prob.b, 200, 1e-10)
+    it = int(res.iterations)
+    assert it < 200
+    a_dense = np.asarray(bt_to_dense(prob.hierarchy.levels[0].a))
+    x_dense = np.linalg.solve(a_dense, np.asarray(prob.b).T.reshape(-1))
+    np.testing.assert_allclose(
+        np.asarray(res.x).T.reshape(-1), x_dense, rtol=1e-6, atol=1e-9
+    )
