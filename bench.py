@@ -413,26 +413,35 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
         f"-> {out['xl_sweep_gnnz_s']} GNNZ/s ({out['xl_sweep_gbps']} GB/s)")
     del x  # free the timed iterate before the solve (HBM is tight at 1e8 DoF)
 
-    # guarded mixed-precision solve to tol (float-float defects on-chip)
+    # guarded mixed-precision solve to tol (float-float defects on-chip).
+    # Pallas only on the big levels: a 12-level chain otherwise instantiates
+    # ~25 Mosaic kernels in one program, which OOMs (SIGKILL) the remote
+    # compile helper — and the levels dropped hold <3% of the sweep work.
+    import agglomerationmultigrid1d_tpu.models.solvers as _solvers
+
+    _solvers.PALLAS_MIN_BLOCKS = 1 << 20
     x_ff = FF(x0, jnp.zeros_like(x0))
     inv_nb = jnp.asarray(1.0 / norm_b, jnp.float32)
     kw = dict(
         maxiter=100, tol=tol, inner_tol=3.0e-5, max_inner=20,
         n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=True,
     )
-    t0 = time.time()
-    res = _mixed_loop_ff(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
-    rel = float(np.asarray(res[3])[int(res[1]) - 1])
-    log(f"XL solve compile+run: {time.time()-t0:.1f}s, outers={int(res[1])}, "
-        f"cycles={int(res[2])}, rel res={rel:.2e}")
-    t0 = time.time()
-    res = _mixed_loop_ff(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
-    jax.block_until_ready(res[0].hi)
-    out["xl_solve_s"] = round(time.time() - t0, 2)
-    out["xl_solve_cycles"] = int(res[2])
-    out["xl_solve_rel_res"] = float(np.asarray(res[3])[int(res[1]) - 1])
-    log(f"XL solve steady: {out['xl_solve_s']}s to rel res {out['xl_solve_rel_res']:.2e} "
-        f"({out['xl_solve_cycles']} f32 V-cycles)")
+    try:
+        t0 = time.time()
+        res = _mixed_loop_ff(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
+        rel = float(np.asarray(res[3])[int(res[1]) - 1])
+        log(f"XL solve compile+run: {time.time()-t0:.1f}s, outers={int(res[1])}, "
+            f"cycles={int(res[2])}, rel res={rel:.2e}")
+        t0 = time.time()
+        res = _mixed_loop_ff(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
+        jax.block_until_ready(res[0].hi)
+        out["xl_solve_s"] = round(time.time() - t0, 2)
+        out["xl_solve_cycles"] = int(res[2])
+        out["xl_solve_rel_res"] = float(np.asarray(res[3])[int(res[1]) - 1])
+        log(f"XL solve steady: {out['xl_solve_s']}s to rel res {out['xl_solve_rel_res']:.2e} "
+            f"({out['xl_solve_cycles']} f32 V-cycles)")
+    finally:
+        _solvers.PALLAS_MIN_BLOCKS = 0  # the smaller solve stages keep Pallas
     return out
 
 

@@ -86,8 +86,9 @@ def main():
         it = int(res.iterations)
         err = np.abs(np.asarray(res.x).T.reshape(-1) - x_dense).max()
         rr = float(np.asarray(res.res_history)[it - 1])
+        note = "" if rr < 1e-9 else "  <- stalled: coarse basis spans half the domain"
         print(f"{name:30s}: {it:3d} V-cycles, final rel res {rr:.2e}, "
-              f"max err vs dense {err:.2e}")
+              f"max err vs dense {err:.2e}{note}")
 
 
 if __name__ == "__main__":
