@@ -11,6 +11,8 @@ histories, preserving the reference's observability contract
 from __future__ import annotations
 
 import functools
+
+import numpy as np
 from typing import NamedTuple
 
 import jax
@@ -726,6 +728,89 @@ def _mixed_inner_solve(
 @jax.jit
 def _mixed_update(x, e):
     return x + e.astype(x.dtype)
+
+
+@jax.jit
+def _ff_rel_defect(a_ff, x_ff, b_ff, inv_norm_b):
+    """``(r_ff, ||r||_hi * inv_norm_b)`` — the outer-loop defect as its own
+    program (see :func:`_mixed_eager_outer`)."""
+    from ..ops.df64 import ff_defect
+
+    r_ff = ff_defect(a_ff, x_ff, b_ff)
+    return r_ff, jnp.linalg.norm(_flatten_level_vec(r_ff.hi) * inv_norm_b)
+
+
+@jax.jit
+def _ff_apply_correction(x_best, e, scale):
+    from ..ops.df64 import FF, ff_add
+
+    return ff_add(x_best, FF(scale.astype(e.dtype) * e, jnp.zeros_like(e)))
+
+
+def _mixed_eager_outer(
+    h_low, a_ff, x_ff, b_ff, inv_norm_b,
+    *, maxiter, tol, inner_tol, max_inner, n_pre, n_post, alpha, use_pallas,
+    shard=None,
+):
+    """:func:`_mixed_loop_ff` with the OUTER loop on the host.
+
+    Identical guarded-refinement semantics and results, but the work splits
+    into three jit units (ff defect + norm, the f32 inner solve, the ff
+    correction update) instead of one module spanning the whole refinement.
+    Two reasons to prefer it at very large n:
+
+    * the fused module's TPU compile gets OOM-killed by the remote compile
+      helper above ~5e7 DoF (measured: 6.7e7 ok path-dependent, 1.0e8 killed
+      with and without Pallas) — the split units each compile comfortably;
+    * each outer step costs one extra scalar sync (~25 ms through the TPU
+      tunnel), ~0.3 s across a typical 13-outer solve — noise against the
+      multi-second 1e8-DoF solve the fused form exists to accelerate.
+
+    Exact-match parity with the fused loop is pinned by
+    ``tests/test_stencil_setup.py::test_eager_outer_matches_fused``.
+    """
+    kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard)
+    it32 = jnp.asarray(inner_tol, jnp.float32)
+
+    x_cur = x_best = x_ff
+    r_best = jax.tree_util.tree_map(jnp.zeros_like, x_ff)
+    rel_best = float(np.finfo(np.float32).max)
+    i = cycles = streak = 0
+    limit = max_inner
+    res_h = np.full((maxiter,), np.nan, dtype=np.float32)
+
+    while i < maxiter:
+        r_ff, rel = _ff_rel_defect(a_ff, x_cur, b_ff, inv_norm_b)
+        rel = float(rel)
+        improved = rel < rel_best
+        if improved:
+            x_best, r_best = x_cur, r_ff
+            rel_best, streak = rel, 0
+        else:
+            streak += 1
+        if i > 0:
+            res_h[i - 1] = rel_best
+        if rel_best < tol or streak >= 3 or cycles >= maxiter:
+            break
+
+        probe = 1 if (i % 4 == 0 and improved) else 0
+        cap = min((limit if improved else 1) + probe, max_inner)
+        e, n_cyc, i_best = _mixed_inner_solve(
+            h_low, r_best.hi, it32, jnp.asarray(cap), **kw
+        )
+        scale = jnp.asarray(0.5**streak if streak > 0 else 1.0, jnp.float32)
+        x_cur = _ff_apply_correction(x_best, e, scale)
+        cycles += int(n_cyc)
+        limit = max(limit, 1) if not improved else max(1, int(i_best))
+        i += 1
+
+    _, rel_last = _ff_rel_defect(a_ff, x_cur, b_ff, inv_norm_b)
+    rel_last = float(rel_last)
+    x_out = x_cur if rel_last < rel_best else x_best
+    rel_out = min(rel_last, rel_best)
+    if i > 0:
+        res_h[i - 1] = rel_out
+    return x_out, jnp.asarray(i), jnp.asarray(cycles), jnp.asarray(res_h)
 
 
 # ---------------------------------------------------------------------------

@@ -361,7 +361,7 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
     ``tol`` relative residual.  Returns a dict of metrics."""
     import jax.numpy as jnp
 
-    from agglomerationmultigrid1d_tpu.models.solvers import _mixed_loop_ff
+    from agglomerationmultigrid1d_tpu.models.solvers import _mixed_eager_outer
     from agglomerationmultigrid1d_tpu.models.stencil_setup import (
         build_xl_problem,
         default_stencil_factor,
@@ -428,12 +428,12 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
     )
     try:
         t0 = time.time()
-        res = _mixed_loop_ff(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
+        res = _mixed_eager_outer(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
         rel = float(np.asarray(res[3])[int(res[1]) - 1])
         log(f"XL solve compile+run: {time.time()-t0:.1f}s, outers={int(res[1])}, "
             f"cycles={int(res[2])}, rel res={rel:.2e}")
         t0 = time.time()
-        res = _mixed_loop_ff(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
+        res = _mixed_eager_outer(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
         jax.block_until_ready(res[0].hi)
         out["xl_solve_s"] = round(time.time() - t0, 2)
         out["xl_solve_cycles"] = int(res[2])

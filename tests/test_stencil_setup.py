@@ -240,3 +240,42 @@ def test_inflation_rejects_nonuniform():
     h_small = strip_hierarchy(prob_small.hierarchy)
     with pytest.raises(ValueError, match="translation invariant"):
         inflate_hierarchy(h_small, h_small, z)
+
+
+def test_eager_outer_matches_fused():
+    """The host-outer-loop mixed solver (used above the fused module's
+    compile-size ceiling) reproduces the fused loop exactly: same outer count,
+    cycle count, residual history, and iterate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agglomerationmultigrid1d_tpu.models.solvers import (
+        _mixed_eager_outer,
+        _mixed_loop_ff,
+    )
+    from agglomerationmultigrid1d_tpu.models.stencil_setup import build_xl_problem
+    from agglomerationmultigrid1d_tpu.ops.df64 import FF
+    from agglomerationmultigrid1d_tpu.utils.config import HierarchySpec
+
+    n = 4096
+    spec = HierarchySpec(
+        cg_orders=(), dg_orders=(1,), n_agg_levels=4, p_agg=1, c_dir=1000.0 * n
+    )
+    h32, a_ff, b_ff, norm_b = build_xl_problem(spec, n, z=8, slim_fine=True)
+    x0 = FF(jnp.zeros_like(b_ff.hi), jnp.zeros_like(b_ff.hi))
+    inv_nb = jnp.asarray(1.0 / norm_b, jnp.float32)
+    kw = dict(
+        maxiter=40, tol=1e-8, inner_tol=3.0e-5, max_inner=20,
+        n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=False,
+    )
+    xf, of, cf, hf = _mixed_loop_ff(h32, a_ff, x0, b_ff, inv_nb, **kw)
+    xe, oe, ce, he = _mixed_eager_outer(h32, a_ff, x0, b_ff, inv_nb, **kw)
+    assert int(oe) == int(of)
+    assert int(ce) == int(cf)
+    np.testing.assert_array_equal(np.asarray(xe.hi), np.asarray(xf.hi))
+    np.testing.assert_array_equal(np.asarray(xe.lo), np.asarray(xf.lo))
+    hfn, hen = np.asarray(hf), np.asarray(he)
+    mask = ~np.isnan(hfn)
+    np.testing.assert_array_equal(mask, ~np.isnan(hen))
+    np.testing.assert_allclose(hen[mask], hfn[mask], rtol=0, atol=0)
