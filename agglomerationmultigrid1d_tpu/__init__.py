@@ -45,9 +45,29 @@ if not _os.environ.get("AGGMG_FAST_MATMUL"):
 
 # Multilevel V-cycles are large fused graphs; persistent compilation caching
 # makes repeat runs (and every run after the first on a given config) instant.
+# The cache is partitioned by a CPU-feature fingerprint: JAX's cache key does
+# NOT include the host's CPU features, so a CPU executable cached by a machine
+# with a different x86 feature set loads anyway and can SIGILL/segfault
+# (observed in the cpu_aot_loader "machine features don't match" path).
 if not _os.environ.get("AGGMG_NO_COMPILE_CACHE"):
+
+    def _cpu_fingerprint() -> str:
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        return hashlib.sha1(line.encode()).hexdigest()[:12]
+        except OSError:
+            pass
+        import platform
+
+        return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
     _cache_dir = _os.environ.get(
-        "AGGMG_COMPILE_CACHE_DIR", _os.path.expanduser("~/.cache/aggmg_jax")
+        "AGGMG_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~/.cache/aggmg_jax"), _cpu_fingerprint()),
     )
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

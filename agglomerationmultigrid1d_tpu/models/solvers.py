@@ -773,7 +773,9 @@ def _mixed_eager_outer(
     it32 = jnp.asarray(inner_tol, jnp.float32)
 
     x_cur = x_best = x_ff
-    r_best = jax.tree_util.tree_map(jnp.zeros_like, x_ff)
+    # only the hi part feeds the f32 inner solve — don't hold the lo tail
+    # (0.4 GB at the 1e8-DoF scale)
+    r_best_hi = jnp.zeros_like(x_ff.hi)
     rel_best = float(np.finfo(np.float32).max)
     i = cycles = streak = 0
     limit = max_inner
@@ -784,10 +786,11 @@ def _mixed_eager_outer(
         rel = float(rel)
         improved = rel < rel_best
         if improved:
-            x_best, r_best = x_cur, r_ff
+            x_best, r_best_hi = x_cur, r_ff.hi
             rel_best, streak = rel, 0
         else:
             streak += 1
+        del r_ff
         if i > 0:
             res_h[i - 1] = rel_best
         if rel_best < tol or streak >= 3 or cycles >= maxiter:
@@ -796,7 +799,7 @@ def _mixed_eager_outer(
         probe = 1 if (i % 4 == 0 and improved) else 0
         cap = min((limit if improved else 1) + probe, max_inner)
         e, n_cyc, i_best = _mixed_inner_solve(
-            h_low, r_best.hi, it32, jnp.asarray(cap), **kw
+            h_low, r_best_hi, it32, jnp.asarray(cap), **kw
         )
         scale = jnp.asarray(0.5**streak if streak > 0 else 1.0, jnp.float32)
         x_cur = _ff_apply_correction(x_best, e, scale)

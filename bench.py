@@ -371,13 +371,15 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
     from agglomerationmultigrid1d_tpu.utils.config import HierarchySpec
 
     out = {"xl_dof": n_el * (p_fine + 1)}
-    # coarsen the agg chain to ~12k agglomerates: deep enough that the cyclic-
-    # reduction coarse solve is negligible, shallow enough that the stencil
-    # factor z stays large (the coarsest stencil level needs >= 10 blocks)
-    n_agg = 1 + max(int(np.ceil(np.log2(n_el / 4 / 12288))), 0)
+    # coarsen the agg chain 4:1 throughout to ~12k agglomerates: deep enough
+    # that the cyclic-reduction coarse solve is negligible, and HALF the level
+    # count of a 2:1 tail at identical V-cycle counts (measured 19 vs 18
+    # cycles) — the leaner level chain keeps the inner-solve module well clear
+    # of the remote compile helper's memory ceiling at the 1e8-DoF scale
+    n_agg = max(int(np.ceil(np.log2(max(n_el / 12288, 4)) / 2)), 1)
     spec = HierarchySpec(
         cg_orders=(), dg_orders=(p_fine,), n_agg_levels=n_agg, p_agg=1,
-        c_dir=1000.0 * n_el,
+        agg_factor=4, c_dir=1000.0 * n_el,
     )
     z = default_stencil_factor(spec, n_el)
     t0 = time.time()
@@ -419,7 +421,7 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
     # compile helper — and the levels dropped hold <3% of the sweep work.
     import agglomerationmultigrid1d_tpu.models.solvers as _solvers
 
-    _solvers.PALLAS_MIN_BLOCKS = 1 << 20
+    _solvers.PALLAS_MIN_BLOCKS = 1 << 22
     x_ff = FF(x0, jnp.zeros_like(x0))
     inv_nb = jnp.asarray(1.0 / norm_b, jnp.float32)
     kw = dict(
