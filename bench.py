@@ -532,11 +532,14 @@ def main():
                 100.0 * result["xl_sweep_gbps"] / result["multisweep_gbps"], 1
             )
 
-    # XL (the north-star 1e8-DoF problem) gets priority over the smaller
-    # solve stages; each solve stage now times plain AND chebyshev variants
-    stage("xl_solve", 60 if SMALL else 420, _xl)
+    # XL (the north-star 1e8-DoF problem) runs LAST: a failed giant compile
+    # can wedge the remote TPU tunnel for many minutes (the compile helper is
+    # SIGKILLed server-side), which would starve every stage scheduled after
+    # it; the cheaper solve stages complete first so their numbers are safe.
+    # Each solve stage times plain AND chebyshev variants.
     stage("flagship_solve", 120 if SMALL else 260, _flagship)
     stage("mixed_solve", 120 if SMALL else 320, _mixed)
+    stage("xl_solve", 60 if SMALL else 420, _xl)
     emit(result)
 
 
