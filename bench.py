@@ -429,19 +429,23 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
         n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=True,
     )
     try:
-        t0 = time.time()
-        res = _mixed_eager_outer(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
-        rel = float(np.asarray(res[3])[int(res[1]) - 1])
-        log(f"XL solve compile+run: {time.time()-t0:.1f}s, outers={int(res[1])}, "
-            f"cycles={int(res[2])}, rel res={rel:.2e}")
-        t0 = time.time()
-        res = _mixed_eager_outer(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
-        jax.block_until_ready(res[0].hi)
-        out["xl_solve_s"] = round(time.time() - t0, 2)
-        out["xl_solve_cycles"] = int(res[2])
-        out["xl_solve_rel_res"] = float(np.asarray(res[3])[int(res[1]) - 1])
-        log(f"XL solve steady: {out['xl_solve_s']}s to rel res {out['xl_solve_rel_res']:.2e} "
-            f"({out['xl_solve_cycles']} f32 V-cycles)")
+        if os.environ.get("AGGMG_BENCH_XL_SOLVE", "1") != "0":
+            t0 = time.time()
+            res = _mixed_eager_outer(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
+            rel = float(np.asarray(res[3])[int(res[1]) - 1])
+            log(f"XL solve compile+run: {time.time()-t0:.1f}s, outers={int(res[1])}, "
+                f"cycles={int(res[2])}, rel res={rel:.2e}")
+            t0 = time.time()
+            res = _mixed_eager_outer(h32, a_ff, x_ff, b_ff, inv_nb, **kw)
+            jax.block_until_ready(res[0].hi)
+            out["xl_solve_s"] = round(time.time() - t0, 2)
+            out["xl_solve_cycles"] = int(res[2])
+            out["xl_solve_rel_res"] = float(np.asarray(res[3])[int(res[1]) - 1])
+            log(f"XL solve steady: {out['xl_solve_s']}s to rel res {out['xl_solve_rel_res']:.2e} "
+                f"({out['xl_solve_cycles']} f32 V-cycles)")
+    except Exception as e:  # keep the setup/sweep metrics already gathered
+        out["xl_solve_error"] = str(e)[:200]
+        log(f"XL solve failed (setup/sweep metrics kept): {e}")
     finally:
         _solvers.PALLAS_MIN_BLOCKS = 0  # the smaller solve stages keep Pallas
     return out
