@@ -4,10 +4,14 @@ translation invariant away from the boundary, so inflating stencils extracted
 from an n/z-size build must give the same full-size hierarchy the reference's
 full-size assembly chain (``src/mesh_heirarchy.jl:30-181``) produces."""
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 
 from agglomerationmultigrid1d_tpu.models.hierarchy import (
     CgLevel,
@@ -242,40 +246,65 @@ def test_inflation_rejects_nonuniform():
         inflate_hierarchy(h_small, h_small, z)
 
 
+_EAGER_PARITY_SCRIPT = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+
+from agglomerationmultigrid1d_tpu.models.solvers import (
+    _mixed_eager_outer,
+    _mixed_loop_ff,
+)
+from agglomerationmultigrid1d_tpu.models.stencil_setup import build_xl_problem
+from agglomerationmultigrid1d_tpu.ops.df64 import FF
+from agglomerationmultigrid1d_tpu.utils.config import HierarchySpec
+
+n = 4096
+spec = HierarchySpec(
+    cg_orders=(), dg_orders=(1,), n_agg_levels=4, p_agg=1, c_dir=1000.0 * n
+)
+h32, a_ff, b_ff, norm_b = build_xl_problem(spec, n, z=8, slim_fine=True)
+x0 = FF(jnp.zeros_like(b_ff.hi), jnp.zeros_like(b_ff.hi))
+inv_nb = jnp.asarray(1.0 / norm_b, jnp.float32)
+kw = dict(
+    maxiter=40, tol=1e-8, inner_tol=3.0e-5, max_inner=20,
+    n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=False,
+)
+xf, of, cf, hf = _mixed_loop_ff(h32, a_ff, x0, b_ff, inv_nb, **kw)
+xe, oe, ce, he = _mixed_eager_outer(h32, a_ff, x0, b_ff, inv_nb, **kw)
+assert int(oe) == int(of), (int(oe), int(of))
+assert int(ce) == int(cf), (int(ce), int(cf))
+np.testing.assert_array_equal(np.asarray(xe.hi), np.asarray(xf.hi))
+np.testing.assert_array_equal(np.asarray(xe.lo), np.asarray(xf.lo))
+hfn, hen = np.asarray(hf), np.asarray(he)
+mask = ~np.isnan(hfn)
+np.testing.assert_array_equal(mask, ~np.isnan(hen))
+np.testing.assert_allclose(hen[mask], hfn[mask], rtol=0, atol=0)
+print("EAGER_PARITY_OK")
+"""
+
+
 def test_eager_outer_matches_fused():
     """The host-outer-loop mixed solver (used above the fused module's
     compile-size ceiling) reproduces the fused loop exactly: same outer count,
-    cycle count, residual history, and iterate."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    cycle count, residual history, and iterate.
 
-    from agglomerationmultigrid1d_tpu.models.solvers import (
-        _mixed_eager_outer,
-        _mixed_loop_ff,
-    )
-    from agglomerationmultigrid1d_tpu.models.stencil_setup import build_xl_problem
-    from agglomerationmultigrid1d_tpu.ops.df64 import FF
-    from agglomerationmultigrid1d_tpu.utils.config import HierarchySpec
+    Runs in a fresh subprocess: in a long pytest session this image's XLA:CPU
+    backend intermittently SIGABRTs/segfaults while compiling the large fused
+    module (also seen loading cross-machine cached CPU executables —
+    `cpu_aot_loader` machine-feature mismatch); a clean process compiles it
+    reliably and keeps the flake out of the suite."""
+    import os
+    import subprocess
+    import sys
 
-    n = 4096
-    spec = HierarchySpec(
-        cg_orders=(), dg_orders=(1,), n_agg_levels=4, p_agg=1, c_dir=1000.0 * n
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _EAGER_PARITY_SCRIPT],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
     )
-    h32, a_ff, b_ff, norm_b = build_xl_problem(spec, n, z=8, slim_fine=True)
-    x0 = FF(jnp.zeros_like(b_ff.hi), jnp.zeros_like(b_ff.hi))
-    inv_nb = jnp.asarray(1.0 / norm_b, jnp.float32)
-    kw = dict(
-        maxiter=40, tol=1e-8, inner_tol=3.0e-5, max_inner=20,
-        n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=False,
-    )
-    xf, of, cf, hf = _mixed_loop_ff(h32, a_ff, x0, b_ff, inv_nb, **kw)
-    xe, oe, ce, he = _mixed_eager_outer(h32, a_ff, x0, b_ff, inv_nb, **kw)
-    assert int(oe) == int(of)
-    assert int(ce) == int(cf)
-    np.testing.assert_array_equal(np.asarray(xe.hi), np.asarray(xf.hi))
-    np.testing.assert_array_equal(np.asarray(xe.lo), np.asarray(xf.lo))
-    hfn, hen = np.asarray(hf), np.asarray(he)
-    mask = ~np.isnan(hfn)
-    np.testing.assert_array_equal(mask, ~np.isnan(hen))
-    np.testing.assert_allclose(hen[mask], hfn[mask], rtol=0, atol=0)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "EAGER_PARITY_OK" in proc.stdout
