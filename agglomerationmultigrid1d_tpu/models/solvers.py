@@ -730,6 +730,50 @@ def _mixed_update(x, e):
     return x + e.astype(x.dtype)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_pre", "n_post", "alpha", "use_pallas", "shard")
+)
+def _inner_cycle_step(
+    h_low, e, r, *, n_pre, n_post, alpha, use_pallas, shard=None
+):
+    """One f32 V-cycle on the correction equation plus the residual norm —
+    the per-cycle unit of :func:`_mixed_inner_solve_eager` (no ``while_loop``
+    in the module; see that function's rationale)."""
+    fine = h_low.levels[0]
+    e = v_cycle(
+        h_low, e, r, n_pre=n_pre, n_post=n_post, alpha=alpha,
+        use_pallas=use_pallas, shard=shard,
+    )
+    res = jnp.linalg.norm(_flatten_level_vec(r - _level_matvec_opt(fine, e, use_pallas)))
+    return e, res
+
+
+def _mixed_inner_solve_eager(
+    h_low, r, inner_tol, max_cycles, *, n_pre, n_post, alpha, use_pallas, shard=None
+):
+    """:func:`_mixed_inner_solve` with the cycle loop on the host: identical
+    stopping rule and returns, but the compiled unit is ONE V-cycle + residual
+    norm instead of a ``while_loop`` over them.  The last structural rescue on
+    rigs whose remote compile helper is OOM-killed by the loop-wrapped module
+    at extreme problem sizes; costs one ~25 ms scalar sync per cycle."""
+    kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard)
+    norm_r = float(jnp.linalg.norm(_flatten_level_vec(r)))
+    tol_abs = float(inner_tol) * norm_r
+
+    e = best_e = jnp.zeros_like(r)
+    best_res = float(np.finfo(np.float32).max)
+    best_i = 0
+    i, res, prev = 0, norm_r, float(np.finfo(np.float32).max)
+    while i < int(max_cycles) and not (res < tol_abs or res > 0.7 * prev):
+        e, new = _inner_cycle_step(h_low, e, r, **kw)
+        new = float(new)
+        if new < best_res:
+            best_e, best_res, best_i = e, new, i + 1
+        prev, res = res, new
+        i += 1
+    return best_e, jnp.asarray(i), jnp.asarray(best_i)
+
+
 @jax.jit
 def _ff_rel_defect(a_ff, x_ff, b_ff, inv_norm_b):
     """``(r_ff, ||r||_hi * inv_norm_b)`` — the outer-loop defect as its own
@@ -750,7 +794,7 @@ def _ff_apply_correction(x_best, e, scale):
 def _mixed_eager_outer(
     h_low, a_ff, x_ff, b_ff, inv_norm_b,
     *, maxiter, tol, inner_tol, max_inner, n_pre, n_post, alpha, use_pallas,
-    shard=None,
+    shard=None, eager_inner=False,
 ):
     """:func:`_mixed_loop_ff` with the OUTER loop on the host.
 
@@ -798,9 +842,8 @@ def _mixed_eager_outer(
 
         probe = 1 if (i % 4 == 0 and improved) else 0
         cap = min((limit if improved else 1) + probe, max_inner)
-        e, n_cyc, i_best = _mixed_inner_solve(
-            h_low, r_best_hi, it32, jnp.asarray(cap), **kw
-        )
+        inner = _mixed_inner_solve_eager if eager_inner else _mixed_inner_solve
+        e, n_cyc, i_best = inner(h_low, r_best_hi, it32, jnp.asarray(cap), **kw)
         scale = jnp.asarray(0.5**streak if streak > 0 else 1.0, jnp.float32)
         x_cur = _ff_apply_correction(x_best, e, scale)
         cycles += int(n_cyc)

@@ -427,6 +427,7 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
     kw = dict(
         maxiter=100, tol=tol, inner_tol=3.0e-5, max_inner=20,
         n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=True,
+        eager_inner=True,  # per-V-cycle programs: no while_loop module at all
     )
     try:
         if os.environ.get("AGGMG_BENCH_XL_SOLVE", "1") != "0":

@@ -273,15 +273,16 @@ kw = dict(
     n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=False,
 )
 xf, of, cf, hf = _mixed_loop_ff(h32, a_ff, x0, b_ff, inv_nb, **kw)
-xe, oe, ce, he = _mixed_eager_outer(h32, a_ff, x0, b_ff, inv_nb, **kw)
-assert int(oe) == int(of), (int(oe), int(of))
-assert int(ce) == int(cf), (int(ce), int(cf))
-np.testing.assert_array_equal(np.asarray(xe.hi), np.asarray(xf.hi))
-np.testing.assert_array_equal(np.asarray(xe.lo), np.asarray(xf.lo))
-hfn, hen = np.asarray(hf), np.asarray(he)
-mask = ~np.isnan(hfn)
-np.testing.assert_array_equal(mask, ~np.isnan(hen))
-np.testing.assert_allclose(hen[mask], hfn[mask], rtol=0, atol=0)
+for variant_kw in ({}, {"eager_inner": True}):
+    xe, oe, ce, he = _mixed_eager_outer(h32, a_ff, x0, b_ff, inv_nb, **kw, **variant_kw)
+    assert int(oe) == int(of), (variant_kw, int(oe), int(of))
+    assert int(ce) == int(cf), (variant_kw, int(ce), int(cf))
+    np.testing.assert_array_equal(np.asarray(xe.hi), np.asarray(xf.hi))
+    np.testing.assert_array_equal(np.asarray(xe.lo), np.asarray(xf.lo))
+    hfn, hen = np.asarray(hf), np.asarray(he)
+    mask = ~np.isnan(hfn)
+    np.testing.assert_array_equal(mask, ~np.isnan(hen))
+    np.testing.assert_allclose(hen[mask], hfn[mask], rtol=0, atol=0)
 print("EAGER_PARITY_OK")
 """
 
