@@ -56,9 +56,16 @@ if not _os.environ.get("AGGMG_NO_COMPILE_CACHE"):
 
         try:
             with open("/proc/cpuinfo") as f:
+                stanza = []
                 for line in f:
-                    if line.startswith("flags"):
+                    # x86 exposes "flags"; ARM uses "Features" + "CPU part"
+                    if line.startswith(("flags", "Features", "CPU part")):
                         return hashlib.sha1(line.encode()).hexdigest()[:12]
+                    if not line.strip():  # end of the first processor stanza
+                        break
+                    stanza.append(line)
+                if stanza:  # no feature line: hash the whole first stanza
+                    return hashlib.sha1("".join(stanza).encode()).hexdigest()[:12]
         except OSError:
             pass
         import platform

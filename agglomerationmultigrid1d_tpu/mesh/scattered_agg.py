@@ -108,6 +108,12 @@ def _groups_to_assign(n_base: int, groups) -> np.ndarray:
             raise ValueError(
                 f"agglomerate {g_id} references element out of range 0..{n_base - 1}"
             )
+        if np.unique(ids).size != ids.size:
+            dup = ids[np.diff(np.sort(ids), prepend=-1) == 0]
+            raise ValueError(
+                f"element(s) {np.unique(dup).tolist()} listed more than once in "
+                f"agglomerate {g_id}"
+            )
         if (assign[ids] != -1).any():
             dup = ids[assign[ids] != -1]
             raise ValueError(

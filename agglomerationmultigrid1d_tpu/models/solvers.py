@@ -148,10 +148,29 @@ def _unflatten_level_vec(flat, like):
 # Mosaic kernels inside the one jitted solve program; on very deep hierarchies
 # (the 1e8-DoF problem has 12 levels) those ~25 simultaneous Mosaic compiles
 # can exhaust the remote compile helper's memory, while the coarse levels they
-# serve hold <3% of the sweep work.  Raise (e.g. to 1 << 20) to keep Pallas on
-# the few large levels only; module-level because it must be set before the
-# solve traces.
+# serve hold <3% of the sweep work.  Prefer passing an INT as ``use_pallas``
+# (below) over mutating this module global: the global is read at trace time,
+# so already-compiled jit programs (keyed on shapes + statics only) silently
+# keep their old on/off decision after a mutation.
 PALLAS_MIN_BLOCKS = 0
+
+
+def _pallas_threshold(use_pallas) -> int:
+    """``use_pallas`` may be an int ``k >= 1``: Pallas kernels only on levels
+    with at least ``k`` blocks.  Being a static jit argument everywhere, an
+    int threshold is part of every cache key — unlike ``PALLAS_MIN_BLOCKS``,
+    which callers would have to pair with a jax-cache clear when changed."""
+    if isinstance(use_pallas, bool):
+        return PALLAS_MIN_BLOCKS
+    return int(use_pallas)
+
+
+def _shard_use_pallas(u, use_pallas) -> bool:
+    """The bool the shard_map kernels receive: an int ``use_pallas`` gates on
+    the level's (global) block count like the single-chip path."""
+    if isinstance(use_pallas, bool):
+        return use_pallas
+    return u.shape[-1] >= _pallas_threshold(use_pallas)
 
 
 def _pallas_smooth_ok(level, u, use_pallas):
@@ -163,7 +182,7 @@ def _pallas_smooth_ok(level, u, use_pallas):
         and isinstance(level.a, BlockTridiag)
         and isinstance(level.smoother, BlockJacobiSmoother)
         and u.dtype == jnp.float32
-        and u.shape[-1] >= PALLAS_MIN_BLOCKS
+        and u.shape[-1] >= _pallas_threshold(use_pallas)
     )
 
 
@@ -176,8 +195,18 @@ def _cheb_pallas_ok(level, u, use_pallas):
         and isinstance(level.a, BlockTridiag)
         and isinstance(level.smoother.base, BlockJacobiSmoother)
         and u.dtype == jnp.float32
-        and u.shape[-1] >= PALLAS_MIN_BLOCKS
+        and u.shape[-1] >= _pallas_threshold(use_pallas)
     )
+
+
+def _cheb_ok_safe(level, u, use_pallas):
+    """:func:`_cheb_pallas_ok` guarded on the smoother actually being a
+    ChebyshevSmoother (it dereferences ``smoother.base``)."""
+    from ..smoothers.smoother import ChebyshevSmoother
+
+    return isinstance(
+        getattr(level, "smoother", None), ChebyshevSmoother
+    ) and _cheb_pallas_ok(level, u, use_pallas)
 
 
 def _smooth_cheb(level, u, rhs, degree, use_pallas, emit_residual=False, shard=None):
@@ -205,7 +234,8 @@ def _smooth_cheb(level, u, rhs, degree, use_pallas, emit_residual=False, shard=N
         coef = chebyshev_coefficients(s.lam_lo, s.lam_hi, degree)
         return sharded_chebyshev_multisweep(
             shard[0], shard[1], level.a, s.base.inv, u, rhs, coef,
-            degree=degree, emit_residual=emit_residual, use_pallas=use_pallas,
+            degree=degree, emit_residual=emit_residual,
+            use_pallas=_shard_use_pallas(u, use_pallas),
             ml=s.base.ml, mu=s.base.mu,
         )
     if _cheb_pallas_ok(level, u, use_pallas):
@@ -259,7 +289,8 @@ def _smooth_n(level, u, rhs, n_sweeps, alpha, use_pallas, shard=None):
 
         return sharded_multisweep(
             shard[0], shard[1], level.a, level.smoother.inv, u, rhs,
-            n_sweeps=n_sweeps, alpha=alpha, use_pallas=use_pallas,
+            n_sweeps=n_sweeps, alpha=alpha,
+            use_pallas=_shard_use_pallas(u, use_pallas),
             ml=level.smoother.ml, mu=level.smoother.mu,
         )
     if _pallas_smooth_ok(level, u, use_pallas):
@@ -293,7 +324,8 @@ def _smooth_n_residual(level, u, rhs, n_sweeps, alpha, use_pallas, shard=None):
 
         return sharded_multisweep(
             shard[0], shard[1], level.a, level.smoother.inv, u, rhs,
-            n_sweeps=n_sweeps, alpha=alpha, emit_residual=True, use_pallas=use_pallas,
+            n_sweeps=n_sweeps, alpha=alpha, emit_residual=True,
+            use_pallas=_shard_use_pallas(u, use_pallas),
             ml=level.smoother.ml, mu=level.smoother.mu,
         )
     if _pallas_smooth_ok(level, u, use_pallas):
@@ -314,7 +346,7 @@ def _level_matvec_opt(level, x, use_pallas):
         and isinstance(level.a, BlockTridiag)
         and not _is_slim_bt(level)
         and x.dtype == jnp.float32
-        and x.shape[-1] >= PALLAS_MIN_BLOCKS
+        and x.shape[-1] >= _pallas_threshold(use_pallas)
     ):
         from ..ops.pallas import pallas_bt_matvec
 
@@ -748,25 +780,191 @@ def _inner_cycle_step(
     return e, res
 
 
+# --- split V-cycle: per-level programs around a fused coarse tail ----------
+#
+# The remote TPU compile helper on this rig cannot compile the whole-V-cycle
+# module at the 1e8-DoF north-star size (r4: "tpu_compile_helper subprocess
+# exit code 1").  The V-cycle decomposes naturally: the fine level holds ~97%
+# of the work but is only 3 program stages (pre-smooth+restrict, coarse
+# correction, prolong+post-smooth), and the rest of the hierarchy is a V-cycle
+# on a problem ``agg_factor``x smaller.  ``eager_cut = c`` compiles levels
+# ``0..c-1`` as per-level pre/post programs and the tail (levels ``c..end``)
+# as ONE fused module — each unit individually far below the compile ceiling.
+# Identical arithmetic to the fused cycle (the level boundary only forces
+# materialization XLA would not have fused across anyway).
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "zero_init", "n_pre", "alpha", "use_pallas", "shard")
+)
+def _level_pre_program(h, u, rhs, *, k, zero_init, n_pre, alpha, use_pallas, shard=None):
+    """Level ``k`` pre-smooth + restrict: returns ``(u_k, rhs_{k+1})``."""
+    lv = h.levels[k]
+    if zero_init:
+        u = jnp.zeros_like(rhs)
+    lvl_shard = (shard[0], shard[1]) if (shard is not None and shard[2][k]) else None
+    u, r_k = _smooth_n_residual(lv, u, rhs, n_pre, alpha, use_pallas, shard=lvl_shard)
+    rhs_next = _pad_cg(
+        h.levels[k + 1], transfer_restrict(h.transfers[k], _crop_cg(lv, r_k))
+    )
+    return u, rhs_next
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "emit_norm", "n_post", "alpha", "use_pallas", "shard"),
+)
+def _level_post_program(
+    h, u, u_c, rhs, *, k, emit_norm, n_post, alpha, use_pallas, shard=None
+):
+    """Level ``k`` prolong + post-smooth; with ``emit_norm`` (fine level only)
+    the post-smooth fuses the residual matvec into the same HBM pass and the
+    program also returns ``||rhs - A u||``."""
+    lv = h.levels[k]
+    corr = transfer_prolong(h.transfers[k], _crop_cg(h.levels[k + 1], u_c))
+    u = u + _pad_cg(lv, corr)
+    lvl_shard = (shard[0], shard[1]) if (shard is not None and shard[2][k]) else None
+    if emit_norm:
+        u, r = _smooth_n_residual(lv, u, rhs, n_post, alpha, use_pallas, shard=lvl_shard)
+        return u, jnp.linalg.norm(_flatten_level_vec(r))
+    return _smooth_n(lv, u, rhs, n_post, alpha, use_pallas, shard=lvl_shard)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def _level_correct_program(h, u, u_c, *, k, use_pallas=False):
+    """Prolong + add as its own program.
+
+    Split off from the post-smooth because a Mosaic call whose operand is a
+    PRODUCED tensor (the corrected iterate) sends the remote TPU compiler
+    into a pathological pass — measured 407 s at 1.26e7 blocks and
+    helper-OOM (SIGKILL) at 5e7 (tools/diag_xl_compile*.py) — while the
+    identical kernel with plain parameter operands compiles in ~2 s.  Keeping
+    the correction its own program keeps every kernel operand a parameter.
+    (``use_pallas`` is accepted for interface symmetry; the prolong itself is
+    the transpose+reshape XLA form — see ``ops.transfer_ops.bp_prolong``.)"""
+    del use_pallas
+    lv = h.levels[k]
+    corr = transfer_prolong(h.transfers[k], _crop_cg(h.levels[k + 1], u_c))
+    return u + _pad_cg(lv, corr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "emit_norm", "n_post", "alpha", "use_pallas", "shard"),
+)
+def _level_postsmooth_program(
+    h, u, rhs, *, k, emit_norm, n_post, alpha, use_pallas, shard=None
+):
+    """Post-smooth of an already-corrected iterate (kernel operands are all
+    parameters — see :func:`_level_correct_program`)."""
+    lv = h.levels[k]
+    lvl_shard = (shard[0], shard[1]) if (shard is not None and shard[2][k]) else None
+    if emit_norm:
+        u, r = _smooth_n_residual(lv, u, rhs, n_post, alpha, use_pallas, shard=lvl_shard)
+        return u, jnp.linalg.norm(_flatten_level_vec(r))
+    return _smooth_n(lv, u, rhs, n_post, alpha, use_pallas, shard=lvl_shard)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_pre", "n_post", "alpha", "use_pallas", "shard")
+)
+def _tail_cycle_program(h_tail, rhs, *, n_pre, n_post, alpha, use_pallas, shard=None):
+    """One V-cycle from zero on the coarse tail (its own fused module)."""
+    return v_cycle(
+        h_tail, jnp.zeros_like(rhs), rhs, n_pre=n_pre, n_post=n_post, alpha=alpha,
+        use_pallas=use_pallas, shard=shard,
+    )
+
+
+def _tail_hierarchy(h_low: Hierarchy, cut: int) -> Hierarchy:
+    return Hierarchy(
+        levels=h_low.levels[cut:], transfers=h_low.transfers[cut:], coarse=h_low.coarse
+    )
+
+
+def _tail_shard(shard, cut: int):
+    if shard is None:
+        return None
+    return (shard[0], shard[1], shard[2][cut:])
+
+
+def _inner_cycle_step_split(
+    h_low, h_tail, e, r, *, cut, n_pre, n_post, alpha, use_pallas, shard=None
+):
+    """:func:`_inner_cycle_step` composed from the split programs (see the
+    section comment above): same math, ``2 * cut + 2`` small compiled units
+    instead of one whole-hierarchy module."""
+    us, rhss = [], [r]
+    u = e
+    for k in range(cut):
+        u, rhs_next = _level_pre_program(
+            h_low, u if k == 0 else rhss[k], rhss[k], k=k, zero_init=(k > 0),
+            n_pre=n_pre, alpha=alpha, use_pallas=use_pallas, shard=shard,
+        )
+        us.append(u)
+        rhss.append(rhs_next)
+    u_c = _tail_cycle_program(
+        h_tail, rhss[cut], n_pre=n_pre, n_post=n_post, alpha=alpha,
+        use_pallas=use_pallas, shard=_tail_shard(shard, cut),
+    )
+    for k in range(cut - 1, -1, -1):
+        emit_norm = k == 0
+        if _pallas_smooth_ok(h_low.levels[k], rhss[k], use_pallas) or _cheb_ok_safe(
+            h_low.levels[k], rhss[k], use_pallas
+        ):
+            # keep the Mosaic kernel's operands pure parameters (see
+            # _level_correct_program): correct, then smooth, as two programs
+            u_k = _level_correct_program(h_low, us[k], u_c, k=k, use_pallas=use_pallas)
+            u_c = _level_postsmooth_program(
+                h_low, u_k, rhss[k], k=k, emit_norm=emit_norm,
+                n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard,
+            )
+        else:
+            u_c = _level_post_program(
+                h_low, us[k], u_c, rhss[k], k=k, emit_norm=emit_norm,
+                n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard,
+            )
+    return u_c
+
+
+@jax.jit
+def _vec_norm(r):
+    """``||r||`` in the level vector's flat-DoF order, as a jitted program:
+    called eagerly, ``_flatten_level_vec``'s transpose would materialize with
+    the TPU's tiled layout — f32[n, 2] pads 2 -> 128 lanes, a 25.7 GB
+    allocation at 1e8 DoF (the actual failure behind r4's xl_solve_error);
+    inside jit it fuses into the reduction and no buffer exists."""
+    return jnp.linalg.norm(_flatten_level_vec(r))
+
+
 def _mixed_inner_solve_eager(
-    h_low, r, inner_tol, max_cycles, *, n_pre, n_post, alpha, use_pallas, shard=None
+    h_low, r, inner_tol, max_cycles, *, n_pre, n_post, alpha, use_pallas, shard=None,
+    eager_cut: int = 0,
 ):
     """:func:`_mixed_inner_solve` with the cycle loop on the host: identical
     stopping rule and returns, but the compiled unit is ONE V-cycle + residual
-    norm instead of a ``while_loop`` over them.  The last structural rescue on
-    rigs whose remote compile helper is OOM-killed by the loop-wrapped module
-    at extreme problem sizes; costs one ~25 ms scalar sync per cycle."""
+    norm instead of a ``while_loop`` over them — and with ``eager_cut > 0``
+    the V-cycle itself splits into per-level programs around a fused coarse
+    tail (the structural rescue at the 1e8-DoF compile ceiling; see
+    :func:`_inner_cycle_step_split`).  Costs one ~25 ms scalar sync per cycle.
+
+    Stopping comparisons run in np.float32 to match the fused
+    ``_mixed_inner_solve``'s on-device f32 arithmetic bit-for-bit."""
     kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard)
-    norm_r = float(jnp.linalg.norm(_flatten_level_vec(r)))
-    tol_abs = float(inner_tol) * norm_r
+    norm_r = np.float32(_vec_norm(r))
+    tol_abs = np.float32(inner_tol) * norm_r
+    h_tail = _tail_hierarchy(h_low, eager_cut) if eager_cut > 0 else None
 
     e = best_e = jnp.zeros_like(r)
-    best_res = float(np.finfo(np.float32).max)
+    best_res = np.float32(np.finfo(np.float32).max)
     best_i = 0
-    i, res, prev = 0, norm_r, float(np.finfo(np.float32).max)
-    while i < int(max_cycles) and not (res < tol_abs or res > 0.7 * prev):
-        e, new = _inner_cycle_step(h_low, e, r, **kw)
-        new = float(new)
+    i, res, prev = 0, norm_r, np.float32(np.finfo(np.float32).max)
+    while i < int(max_cycles) and not (res < tol_abs or res > np.float32(0.7) * prev):
+        if eager_cut > 0:
+            e, new = _inner_cycle_step_split(h_low, h_tail, e, r, cut=eager_cut, **kw)
+        else:
+            e, new = _inner_cycle_step(h_low, e, r, **kw)
+        new = np.float32(new)
         if new < best_res:
             best_e, best_res, best_i = e, new, i + 1
         prev, res = res, new
@@ -794,24 +992,30 @@ def _ff_apply_correction(x_best, e, scale):
 def _mixed_eager_outer(
     h_low, a_ff, x_ff, b_ff, inv_norm_b,
     *, maxiter, tol, inner_tol, max_inner, n_pre, n_post, alpha, use_pallas,
-    shard=None, eager_inner=False,
+    shard=None, eager_inner=False, eager_cut: int = 0,
 ):
     """:func:`_mixed_loop_ff` with the OUTER loop on the host.
 
     Identical guarded-refinement semantics and results, but the work splits
     into three jit units (ff defect + norm, the f32 inner solve, the ff
     correction update) instead of one module spanning the whole refinement.
-    Two reasons to prefer it at very large n:
+    ``eager_inner=True`` additionally puts the inner cycle loop on the host
+    (one V-cycle per program), and ``eager_cut=c > 0`` splits each V-cycle
+    itself into per-level programs for levels ``0..c-1`` around one fused
+    coarse-tail module (:func:`_inner_cycle_step_split`) — pick ``c`` = the
+    number of levels running Pallas kernels, so the fused tail is
+    Mosaic-free.  Two reasons to prefer the split forms at very large n:
 
-    * the fused module's TPU compile gets OOM-killed by the remote compile
-      helper above ~5e7 DoF (measured: 6.7e7 ok path-dependent, 1.0e8 killed
-      with and without Pallas) — the split units each compile comfortably;
-    * each outer step costs one extra scalar sync (~25 ms through the TPU
-      tunnel), ~0.3 s across a typical 13-outer solve — noise against the
-      multi-second 1e8-DoF solve the fused form exists to accelerate.
+    * the remote TPU compile helper on this rig is OOM-killed (SIGKILL) by
+      large fused modules — measured at 1e8 DoF for the whole refinement,
+      the whole V-cycle, and even a single fused prolong+post-smooth level
+      (tools/diag_xl_compile*.py) — while each split unit compiles in ~2 s;
+    * each program boundary costs one scalar sync (~25 ms through the TPU
+      tunnel), ~2 s across a typical 20-cycle 1e8-DoF solve — noise against
+      the solve itself.
 
-    Exact-match parity with the fused loop is pinned by
-    ``tests/test_stencil_setup.py::test_eager_outer_matches_fused``.
+    Exact-match parity with the fused loop (including ``eager_cut`` 1 and 2)
+    is pinned by ``tests/test_stencil_setup.py::test_eager_outer_matches_fused``.
     """
     kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard)
     it32 = jnp.asarray(inner_tol, jnp.float32)
@@ -842,8 +1046,14 @@ def _mixed_eager_outer(
 
         probe = 1 if (i % 4 == 0 and improved) else 0
         cap = min((limit if improved else 1) + probe, max_inner)
-        inner = _mixed_inner_solve_eager if eager_inner else _mixed_inner_solve
-        e, n_cyc, i_best = inner(h_low, r_best_hi, it32, jnp.asarray(cap), **kw)
+        if eager_inner:
+            e, n_cyc, i_best = _mixed_inner_solve_eager(
+                h_low, r_best_hi, it32, jnp.asarray(cap), eager_cut=eager_cut, **kw
+            )
+        else:
+            e, n_cyc, i_best = _mixed_inner_solve(
+                h_low, r_best_hi, it32, jnp.asarray(cap), **kw
+            )
         scale = jnp.asarray(0.5**streak if streak > 0 else 1.0, jnp.float32)
         x_cur = _ff_apply_correction(x_best, e, scale)
         cycles += int(n_cyc)
@@ -1036,7 +1246,8 @@ def multigrid_progressive(
     from ..ops.df64 import ff_join, ff_split
 
     a_ffs = tuple(_ff_split_level(lv) for lv in h.levels)
-    norm_b = float(jnp.linalg.norm(_flatten_level_vec(b)))
+    norm_b = float(_vec_norm(b))  # jitted: the eager transpose would
+    # materialize a lane-padded (n, bs) buffer (25.7 GB at 1e8 DoF)
     x_ff, it, res_scaled = _progressive_loop(
         h_low, a_ffs, ff_split(x0.astype(jnp.float64)), ff_split(b),
         jnp.asarray(1.0 / norm_b, jnp.float32),
@@ -1108,7 +1319,8 @@ def multigrid_mixed(
 
     low_dtype = jax.tree_util.tree_leaves(h_low.levels[0].a)[0].dtype
     fine = h.levels[0]
-    norm_b = float(jnp.linalg.norm(_flatten_level_vec(b)))
+    norm_b = float(_vec_norm(b))  # jitted: the eager transpose would
+    # materialize a lane-padded (n, bs) buffer (25.7 GB at 1e8 DoF)
     err_h = np.full((maxiter,), np.nan)
     kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard)
 

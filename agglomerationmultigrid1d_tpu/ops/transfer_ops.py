@@ -61,22 +61,63 @@ def block_prolong_constant(e: jax.Array, n: int) -> BlockProlong:
     return BlockProlong(jnp.broadcast_to(jnp.asarray(e)[None, :, :, None], (1, *e.shape, n)))
 
 
-def bp_prolong(l: BlockProlong, xc: jax.Array) -> jax.Array:
-    """``(bs_c, n_c) -> (bs_f, r * n_c)``.
+# Above this many coarse columns the one-shot interior-pad interleave is
+# unusable on the remote TPU toolchain (see bp_prolong) and the prolongation
+# runs in serialized chunks of at most this size instead.
+_PROLONG_CHUNK = 1 << 20
 
-    Per-offset contractions interleaved onto the fine axis with native
+
+def _bp_prolong_pads(blocks: jax.Array, xc: jax.Array) -> jax.Array:
+    """Per-offset contractions interleaved onto the fine axis with native
     interior padding (``lax.pad``) — NOT an ``(bs_f, n_c, r)`` einsum +
     reshape: that intermediate puts ``r`` (2 or 4) on the 128-wide TPU lane
-    axis, and its tiled layout pads it 128/r-fold (a 12 GB allocation at the
-    1e8-DoF north star for the r = 4 fine transfer)."""
-    r = l.r
+    axis, and its tiled layout pads it 128/r-fold (a 12.9 GB materialized
+    temp at the 1e8-DoF north star, measured in tools/diag_xl_mem5.py)."""
+    r = blocks.shape[0]
     zero = jnp.zeros((), xc.dtype)
     out = None
     for j in range(r):
-        oj = jnp.einsum("ibn,bn->in", l.blocks[j], xc)  # (bs_f, n_c)
+        oj = jnp.einsum("ibn,bn->in", blocks[j], xc)  # (bs_f, n_c)
         pj = jax.lax.pad(oj, zero, [(0, 0, 0), (j, r - 1 - j, r - 1)])
         out = pj if out is None else out + pj
     return out
+
+
+def bp_prolong(l: BlockProlong, xc: jax.Array) -> jax.Array:
+    """``(bs_c, n_c) -> (bs_f, r * n_c)``.
+
+    Small transfers take the interior-pad interleave in one shot.  Above
+    ``_PROLONG_CHUNK`` coarse columns the SAME formulation runs over
+    serialized chunks (``fori_loop`` + dynamic_update_slice): the TPU
+    compiler's handling of interior-dilated pads is pathological at large
+    sizes (407 s compile at 1.26e7 columns, compile-helper OOM SIGKILL at
+    5e7 — tools/diag_prolong4.py), while per-chunk pads compile in seconds
+    and add no materialized temporaries.  Values are bit-identical between
+    the two paths (each fine column is written by exactly one offset)."""
+    r = l.r
+    bs_f = l.blocks.shape[1]
+    n_c = xc.shape[-1]
+    if n_c <= _PROLONG_CHUNK:
+        return _bp_prolong_pads(l.blocks, xc)
+
+    chunks = 2
+    while n_c % chunks == 0 and n_c // chunks > _PROLONG_CHUNK:
+        chunks *= 2
+    if n_c % chunks:  # awkward n_c: fall back to transpose+reshape interleave
+        t = jnp.einsum("jibn,bn->jin", l.blocks, xc)  # (r, bs_f, n_c)
+        return t.transpose(1, 2, 0).reshape(bs_f, r * n_c)
+    m = n_c // chunks
+
+    def body(c, out):
+        bl = jax.lax.dynamic_slice_in_dim(l.blocks, c * m, m, axis=3)
+        xcc = jax.lax.dynamic_slice_in_dim(xc, c * m, m, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, _bp_prolong_pads(bl, xcc), c * (r * m), axis=1
+        )
+
+    return jax.lax.fori_loop(
+        0, chunks, body, jnp.zeros((bs_f, r * n_c), xc.dtype)
+    )
 
 
 def bp_restrict(l: BlockProlong, rf: jax.Array) -> jax.Array:

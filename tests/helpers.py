@@ -47,3 +47,16 @@ def rbp_dense(l) -> np.ndarray:
                 l.blocks[j, :, :, c]
             )
     return out
+
+
+def sp_dense(l) -> np.ndarray:
+    """Dense materialization of a ScatteredProlong."""
+    bs_f, bs_c, nf = np.asarray(l.blocks).shape
+    out = np.zeros((nf * bs_f, l.n_coarse * bs_c))
+    cols = np.asarray(l.cols)
+    for e in range(nf):
+        c = int(cols[e])
+        out[e * bs_f : (e + 1) * bs_f, c * bs_c : (c + 1) * bs_c] = np.asarray(
+            l.blocks[:, :, e]
+        )
+    return out

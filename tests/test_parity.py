@@ -48,6 +48,12 @@ def _mass_dense(mass_inv) -> np.ndarray:
 
 
 def _transfer_dense(tr, fine_level) -> np.ndarray:
+    from agglomerationmultigrid1d_tpu.transfer.scattered_transfer import (
+        ScatteredProlong,
+    )
+
+    from helpers import sp_dense
+
     if isinstance(tr, CgProlong):
         n_el = (fine_level.a.n_nodes - 1) // tr.p_fine
         return cgp_dense(tr, n_el)
@@ -57,6 +63,8 @@ def _transfer_dense(tr, fine_level) -> np.ndarray:
         return rbp_dense(tr)
     if isinstance(tr, SeamProlong):
         return seam_dense(tr)
+    if isinstance(tr, ScatteredProlong):
+        return sp_dense(tr)
     raise TypeError(type(tr))
 
 
@@ -153,6 +161,33 @@ def test_parity_dg_hierarchy():
 def test_parity_dg_cg_hierarchy():
     """cf. dg_cg_heirarchy_test.jl (4 CG levels + 1 DG p=0 seam)."""
     assert _run_parity(poisson_dg_cg_hierarchy(n=32)) == 11
+
+
+def test_parity_scattered_hierarchy():
+    """Genuinely NON-CONTIGUOUS partitions (interleaved 4-element runs, then an
+    interleaved partition of the agglomerates themselves) — exact-count parity
+    against the dense oracle, which receives only the dense scattered transfer
+    and redoes the Galerkin chain itself (cf. the reference's explicit
+    element-list constructor, ``agglomerated_dg_mesh.jl:400-495``)."""
+    from agglomerationmultigrid1d_tpu.models.problems import (
+        poisson_scattered_hierarchy,
+    )
+
+    prob = poisson_scattered_hierarchy(
+        n=32,
+        groups_per_level=[
+            # base: two interleaved 8-element agglomerates per 16-element block
+            [[o + i for i in (0, 1, 2, 3, 8, 9, 10, 11)] for o in (0, 16)]
+            + [[o + i for i in (4, 5, 6, 7, 12, 13, 14, 15)] for o in (0, 16)],
+            # recursive: interleave the four level-1 agglomerates
+            [[0, 2], [1, 3]],
+        ],
+    )
+    # 116 cycles is the real (oracle-confirmed) cost of an interleaved
+    # partition: scattering an agglomerate across the domain breaks the
+    # smoother/coarse-correction locality that gives contiguous partitions
+    # their ~10-cycle counts (same physics in the reference; see PARITY.md)
+    assert _run_parity(prob) == 116
 
 
 # stored golden residual history of the flagship n=32 full-hierarchy run

@@ -79,17 +79,7 @@ def _rand_bcoo(rng, n, bs, density=0.3):
     return bcoo_coalesce(rows, cols, blocks, n, n)
 
 
-def sp_dense(l):
-    """Dense materialization of a ScatteredProlong."""
-    bs_f, bs_c, nf = np.asarray(l.blocks).shape
-    out = np.zeros((nf * bs_f, l.n_coarse * bs_c))
-    cols = np.asarray(l.cols)
-    for e in range(nf):
-        c = int(cols[e])
-        out[e * bs_f : (e + 1) * bs_f, c * bs_c : (c + 1) * bs_c] = np.asarray(
-            l.blocks[:, :, e]
-        )
-    return out
+from helpers import sp_dense  # noqa: E402 — shared with test_parity
 
 
 # ---------------------------------------------------------------------------

@@ -273,7 +273,12 @@ kw = dict(
     n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=False,
 )
 xf, of, cf, hf = _mixed_loop_ff(h32, a_ff, x0, b_ff, inv_nb, **kw)
-for variant_kw in ({}, {"eager_inner": True}):
+for variant_kw in (
+    {},
+    {"eager_inner": True},
+    {"eager_inner": True, "eager_cut": 1},  # fine level as split programs
+    {"eager_inner": True, "eager_cut": 2},  # two split levels + fused tail
+):
     xe, oe, ce, he = _mixed_eager_outer(h32, a_ff, x0, b_ff, inv_nb, **kw, **variant_kw)
     assert int(oe) == int(of), (variant_kw, int(oe), int(of))
     assert int(ce) == int(cf), (variant_kw, int(ce), int(cf))
