@@ -937,6 +937,381 @@ def _vec_norm(r):
     return jnp.linalg.norm(_flatten_level_vec(r))
 
 
+# --- split-program progressive-precision cycle (the XL-scale counterpart of
+# v_cycle_ff: same per-level math, compiled as the same program shapes as
+# _inner_cycle_step_split — per-level pre/correct/post programs around one
+# fused Mosaic-free float-float tail) -------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "zero_init", "n_pre", "alpha", "use_pallas", "shard")
+)
+def _ff_level_pre_program(
+    h_low, a_ff_k, u_ff, rhs_ff, *, k, zero_init, n_pre, alpha, use_pallas, shard=None
+):
+    """Level ``k`` progressive pre-smooth + ff defect + restrict."""
+    from ..ops.df64 import FF, ff_defect
+
+    lv = h_low.levels[k]
+    if zero_init:
+        u_ff = _ff_zeros_like(rhs_ff)
+    lvl_shard = (shard[0], shard[1]) if (shard is not None and shard[2][k]) else None
+    u_ff = _smooth_ff(lv, a_ff_k, u_ff, rhs_ff, n_pre, alpha, use_pallas, shard=lvl_shard)
+    r_ff = ff_defect(a_ff_k, u_ff, rhs_ff)
+    t = h_low.transfers[k]
+    lvl_c = h_low.levels[k + 1]
+    rhs_next = FF(
+        _pad_cg(lvl_c, transfer_restrict(t, _crop_cg(lv, r_ff.hi))),
+        _pad_cg(lvl_c, transfer_restrict(t, _crop_cg(lv, r_ff.lo))),
+    )
+    return u_ff, rhs_next
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _ff_level_correct_program(h_low, u_ff, u_c_ff, *, k):
+    """Progressive prolong + add (both ff components; own program for the
+    same produced-operand reason as :func:`_level_correct_program`)."""
+    from ..ops.df64 import FF, ff_add
+
+    lv = h_low.levels[k]
+    t = h_low.transfers[k]
+    lvl_c = h_low.levels[k + 1]
+    corr = FF(
+        _pad_cg(lv, transfer_prolong(t, _crop_cg(lvl_c, u_c_ff.hi))),
+        _pad_cg(lv, transfer_prolong(t, _crop_cg(lvl_c, u_c_ff.lo))),
+    )
+    return ff_add(u_ff, corr)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_post", "alpha", "use_pallas", "shard")
+)
+def _ff_level_postsmooth_program(
+    h_low, a_ff_k, u_ff, rhs_ff, *, k, n_post, alpha, use_pallas, shard=None
+):
+    lv = h_low.levels[k]
+    lvl_shard = (shard[0], shard[1]) if (shard is not None and shard[2][k]) else None
+    return _smooth_ff(lv, a_ff_k, u_ff, rhs_ff, n_post, alpha, use_pallas, shard=lvl_shard)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_pre", "n_post", "alpha", "use_pallas", "shard")
+)
+def _ff_tail_cycle_program(
+    h_tail, a_ffs_tail, rhs_ff, coarse64=None, *, n_pre, n_post, alpha, use_pallas,
+    shard=None
+):
+    """One progressive V-cycle from zero on the coarse tail (fused module —
+    Mosaic-free when ``cut`` covers every Pallas-bearing level)."""
+    return v_cycle_ff(
+        h_tail, a_ffs_tail, _ff_zeros_like(rhs_ff), rhs_ff, coarse64,
+        n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard,
+    )
+
+
+def _progressive_cycle_split(
+    h_low, a_ffs, rhs_ff, coarse64=None, *, cut, n_pre, n_post, alpha, use_pallas,
+    shard=None
+):
+    """One progressive-precision V-cycle from zero, as split programs
+    (same math as :func:`v_cycle_ff`; same program decomposition as
+    :func:`_inner_cycle_step_split`)."""
+    us, rhss = [], [rhs_ff]
+    for k in range(cut):
+        u_k, rhs_next = _ff_level_pre_program(
+            h_low, a_ffs[k], rhss[k], rhss[k], k=k, zero_init=True,
+            n_pre=n_pre, alpha=alpha, use_pallas=use_pallas, shard=shard,
+        )
+        us.append(u_k)
+        rhss.append(rhs_next)
+    u_c = _ff_tail_cycle_program(
+        _tail_hierarchy(h_low, cut), a_ffs[cut:], rhss[cut], coarse64,
+        n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas,
+        shard=_tail_shard(shard, cut),
+    )
+    for k in range(cut - 1, -1, -1):
+        u_c = _ff_level_correct_program(h_low, us[k], u_c, k=k)
+        u_c = _ff_level_postsmooth_program(
+            h_low, a_ffs[k], u_c, rhss[k], k=k,
+            n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard,
+        )
+    return u_c
+
+
+@jax.jit
+def _ff_add_program(x_ff, e_ff):
+    from ..ops.df64 import ff_add
+
+    return ff_add(x_ff, e_ff)
+
+
+# --- TRUE-precision progressive cycle -------------------------------------
+#
+# Once ``eps_f32 * kappa_elem(A) > 1`` (the CDir = 1000 n penalty crosses
+# that around 3e7 DoF; the 1e8 north star sits at ~6) every f32-VALUED
+# operator application in the correction cycle — smoothing matvec, transfer,
+# defect — injects error that the cycle AMPLIFIES (measured ~eps32 * kappa
+# per cycle in the r5 conditioning bisects, independent of the arithmetic
+# precision it is computed in).  The remedy is value accuracy: smoothing
+# residuals from the float-float operators, transfers applied as
+# ``T_hi r_hi + (T_hi r_lo + T_lo r_hi)``, defects float-float, and the
+# coarse solve from the f64 factorization.  The preconditioner (block-Jacobi
+# inverse) stays f32 — a perturbed S is a different-but-valid smoother.
+# With that, the cycle contracts like f64 multigrid (verified against the
+# all-f64 reference at matched conditioning) at ~4x the f32 cycle cost.
+
+
+def _smooth_true(level, a_ff_k, u_ff, rhs_ff, n_sweeps, alpha):
+    """Value-accurate smoothing: each sweep's residual is the float-float
+    defect; the f32 preconditioner is applied to its hi part (the defect is
+    r-scaled, so hi carries it to f32 relative accuracy)."""
+    from ..ops.df64 import FF, ff_add, ff_defect
+    from ..smoothers.smoother import ChebyshevSmoother
+
+    s = level.smoother
+    if isinstance(s, ChebyshevSmoother):
+        theta = 0.5 * (s.lam_hi + s.lam_lo)
+        delta = 0.5 * (s.lam_hi - s.lam_lo)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        r = ff_defect(a_ff_k, u_ff, rhs_ff)
+        d = apply_smoother(s.base, r.hi) / theta
+        u_ff = ff_add(u_ff, FF(d, jnp.zeros_like(d)))
+        for _ in range(1, n_sweeps):
+            r = ff_defect(a_ff_k, u_ff, rhs_ff)
+            z = apply_smoother(s.base, r.hi)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+            u_ff = ff_add(u_ff, FF(d, jnp.zeros_like(d)))
+            rho = rho_new
+        return u_ff
+    for _ in range(n_sweeps):
+        r = ff_defect(a_ff_k, u_ff, rhs_ff)
+        du = alpha * apply_smoother(s, r.hi)
+        u_ff = ff_add(u_ff, FF(du, jnp.zeros_like(du)))
+    return u_ff
+
+
+def _restrict_true(t32, t_lo, lv_f, lv_c, r_ff):
+    from ..ops.df64 import FF, ff_add
+
+    def tr(t, v):
+        return _pad_cg(lv_c, transfer_restrict(t, _crop_cg(lv_f, v)))
+
+    hi = tr(t32, r_ff.hi)
+    cross = tr(t32, r_ff.lo)
+    if t_lo is not None:
+        cross = cross + tr(t_lo, r_ff.hi)
+    return ff_add(FF(hi, jnp.zeros_like(hi)), FF(cross, jnp.zeros_like(cross)))
+
+
+def _prolong_true(t32, t_lo, lv_f, lv_c, u_c_ff):
+    from ..ops.df64 import FF, ff_add
+
+    def pr(t, v):
+        return _pad_cg(lv_f, transfer_prolong(t, _crop_cg(lv_c, v)))
+
+    hi = pr(t32, u_c_ff.hi)
+    cross = pr(t32, u_c_ff.lo)
+    if t_lo is not None:
+        cross = cross + pr(t_lo, u_c_ff.hi)
+    return ff_add(FF(hi, jnp.zeros_like(hi)), FF(cross, jnp.zeros_like(cross)))
+
+
+def _true_coarse_solve(coarse64, rhs_ff):
+    from ..ops.df64 import FF, ff_split
+
+    flat = (
+        _flatten_level_vec(rhs_ff.hi).astype(jnp.float64)
+        + _flatten_level_vec(rhs_ff.lo).astype(jnp.float64)
+    )
+    e64 = coarse_solve(coarse64, flat)
+    sp = ff_split(e64)
+    like = rhs_ff.hi
+    return FF(_unflatten_level_vec(sp.hi, like), _unflatten_level_vec(sp.lo, like))
+
+
+def v_cycle_true(h_low, ffops, rhs_ff, k=0, *, n_pre=3, n_post=3, alpha=2.0 / 3.0):
+    """One TRUE-precision V-cycle from zero on levels ``k..end`` (see the
+    section comment above; ``ffops`` is ``stencil_setup.FFOps``)."""
+    from ..ops.df64 import ff_add, ff_defect
+
+    if k == h_low.n_levels - 1:
+        return _true_coarse_solve(ffops.coarse64, rhs_ff)
+    lv = h_low.levels[k]
+    lv_c = h_low.levels[k + 1]
+    t32 = h_low.transfers[k]
+    t_lo = ffops.t_los[k]
+    u = _smooth_true(lv, ffops.a_ffs[k], _ff_zeros_like(rhs_ff), rhs_ff, n_pre, alpha)
+    r = ff_defect(ffops.a_ffs[k], u, rhs_ff)
+    e_c = v_cycle_true(
+        h_low, ffops, _restrict_true(t32, t_lo, lv, lv_c, r), k + 1,
+        n_pre=n_pre, n_post=n_post, alpha=alpha,
+    )
+    u = ff_add(u, _prolong_true(t32, t_lo, lv, lv_c, e_c))
+    return _smooth_true(lv, ffops.a_ffs[k], u, rhs_ff, n_post, alpha)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_pre", "alpha"))
+def _true_level_pre_program(h_low, ffops, rhs_ff, *, k, n_pre, alpha):
+    from ..ops.df64 import ff_defect
+
+    lv = h_low.levels[k]
+    u = _smooth_true(lv, ffops.a_ffs[k], _ff_zeros_like(rhs_ff), rhs_ff, n_pre, alpha)
+    r = ff_defect(ffops.a_ffs[k], u, rhs_ff)
+    rhs_next = _restrict_true(
+        h_low.transfers[k], ffops.t_los[k], lv, h_low.levels[k + 1], r
+    )
+    return u, rhs_next
+
+
+@functools.partial(jax.jit, static_argnames=("cut", "n_pre", "n_post", "alpha"))
+def _true_tail_cycle_program(h_low, ffops, rhs_ff, *, cut, n_pre, n_post, alpha):
+    return v_cycle_true(h_low, ffops, rhs_ff, cut, n_pre=n_pre, n_post=n_post, alpha=alpha)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _true_level_correct_program(h_low, ffops, u_ff, u_c_ff, *, k):
+    from ..ops.df64 import ff_add
+
+    return ff_add(
+        u_ff,
+        _prolong_true(
+            h_low.transfers[k], ffops.t_los[k], h_low.levels[k],
+            h_low.levels[k + 1], u_c_ff,
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_post", "alpha"))
+def _true_level_postsmooth_program(h_low, ffops, u_ff, rhs_ff, *, k, n_post, alpha):
+    return _smooth_true(h_low.levels[k], ffops.a_ffs[k], u_ff, rhs_ff, n_post, alpha)
+
+
+def _true_cycle_split(h_low, ffops, rhs_ff, *, cut, n_pre, n_post, alpha):
+    """One TRUE-precision cycle as split programs (per-level pre/correct/post
+    for levels ``0..cut-1`` around one fused tail — the compile-unit shape
+    proven at 1e8 DoF by the f32 split cycle).
+
+    Each stage is synchronized before the next enqueues: queueing the whole
+    cycle ahead makes the runtime allocate every stage's output buffers up
+    front, which pushes the 1e8-DoF working set past HBM (stepped execution
+    peaks at 11.1 GB and runs; free-queued execution OOMs).  Cost: ~8 x 25 ms
+    of tunnel syncs per cycle against a multi-second cycle."""
+    us, rhss = [], [rhs_ff]
+    for k in range(cut):
+        u_k, rhs_next = _true_level_pre_program(
+            h_low, ffops, rhss[k], k=k, n_pre=n_pre, alpha=alpha
+        )
+        jax.block_until_ready(u_k.hi)
+        us.append(u_k)
+        rhss.append(rhs_next)
+    u_c = _true_tail_cycle_program(
+        h_low, ffops, rhss[cut], cut=cut, n_pre=n_pre, n_post=n_post, alpha=alpha
+    )
+    jax.block_until_ready(u_c.hi)
+    for k in range(cut - 1, -1, -1):
+        u_c = _true_level_correct_program(h_low, ffops, us[k], u_c, k=k)
+        jax.block_until_ready(u_c.hi)
+        u_c = _true_level_postsmooth_program(
+            h_low, ffops, u_c, rhss[k], k=k, n_post=n_post, alpha=alpha
+        )
+        jax.block_until_ready(u_c.hi)
+    return u_c
+
+
+def _progressive_true_eager(
+    h_low, ffops, x_ff, b_ff, inv_norm_b,
+    *, maxiter, tol, cut, n_pre=3, n_post=3, alpha=2.0 / 3.0,
+):
+    """TRUE-precision progressive solve: split-program value-accurate cycles
+    driven by an f64 outer defect (block-stencil fine operators) or the ff
+    defect otherwise.  The north-star (1e8-DoF) solver: converges like f64
+    multigrid at ~4x the f32 cycle cost where both the guarded mixed
+    refinement and the plain progressive cycles floor around
+    ``eps * kappa_elem`` (see the section comment)."""
+    from ..ops.df64 import BTFFStencil
+
+    use64 = isinstance(ffops.a_ffs[0], BTFFStencil)
+
+    def defect(x):
+        if use64:
+            return _f64_rel_defect(ffops.a_ffs[0], x, b_ff, inv_norm_b)
+        return _ff_rel_defect(ffops.a_ffs[0], x, b_ff, inv_norm_b)
+
+    res_h = np.full((maxiter,), np.nan, dtype=np.float64)
+    it = 0
+    while it < maxiter:
+        r_ff, rel = defect(x_ff)
+        rel = float(rel)
+        if it > 0:
+            res_h[it - 1] = rel
+        if rel < float(tol):
+            break
+        e_ff = _true_cycle_split(
+            h_low, ffops, r_ff, cut=cut, n_pre=n_pre, n_post=n_post, alpha=alpha
+        )
+        del r_ff
+        x_ff = _ff_add_program(x_ff, e_ff)
+        del e_ff
+        it += 1
+    if it > 0:
+        _, rel = defect(x_ff)
+        res_h[it - 1] = float(rel)
+    return x_ff, it, res_h
+
+
+@jax.jit
+def _f64_rel_defect(a_st, x_ff, b_ff, inv_norm_b):
+    """TRUE-f64 outer defect from the stencil operator, returned split to ff
+    for the f32-speed correction cycle.  The float-float defect floors around
+    ``2^-48 * || |A| |x| || / ||b||`` relative (~4e-7 at the 1e8-DoF
+    CDir = 1000 n north star — measured as a 5e-8..4e-6 bounce band); the
+    emulated-f64 defect floors ~2^-53 of the same, comfortably below 1e-8.
+    One per outer cycle: ~seconds at 1e8 DoF (``ops.df64.f64_bt_defect_stencil``)."""
+    from ..ops.df64 import f64_bt_defect_stencil
+
+    r_ff = f64_bt_defect_stencil(a_st, x_ff, b_ff)
+    # norm from the split pair, reduced 2-D (order-irrelevant; a transposed
+    # flatten under f64 emulation materializes a 25.7 GB lane-padded buffer)
+    v = r_ff.hi.astype(jnp.float64) + r_ff.lo.astype(jnp.float64)
+    rel = jnp.sqrt(jnp.sum(v * v)) * inv_norm_b.astype(jnp.float64)
+    return r_ff, rel
+
+
+def _progressive_eager(
+    h_low, a_ffs, x_ff, b_ff, inv_norm_b, coarse64=None,
+    *, maxiter, tol, cut, n_pre, n_post, alpha, use_pallas, shard=None,
+):
+    """Host-loop progressive-precision iteration over split-program cycles —
+    the XL-scale counterpart of :func:`_progressive_loop` (same per-cycle
+    math and stopping rule; returns the same ``(x_ff, it, res_history)``).
+
+    NOTE: at ``eps_f32 * kappa_elem(A) > 1`` these ff cycles amplify instead
+    of contracting (f32-valued operator applications inside the cycle) — use
+    :func:`_progressive_true_eager` there."""
+    kw = dict(n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard)
+    tolc = np.float32(tol)
+    res_h = np.full((maxiter,), np.nan, dtype=np.float32)
+    it = 0
+    while it < maxiter:
+        r_ff, rel = _ff_rel_defect(a_ffs[0], x_ff, b_ff, inv_norm_b)
+        rel = np.float32(rel)
+        if it > 0:
+            res_h[it - 1] = rel
+        if rel < tolc:
+            break
+        e_ff = _progressive_cycle_split(h_low, a_ffs, r_ff, coarse64, cut=cut, **kw)
+        del r_ff
+        x_ff = _ff_add_program(x_ff, e_ff)
+        del e_ff  # 2 vector buffers; keeping it across the next defect counts
+        it += 1
+    if it > 0:  # record the defect of the final iterate (cf. _progressive_loop)
+        _, rel = _ff_rel_defect(a_ffs[0], x_ff, b_ff, inv_norm_b)
+        res_h[it - 1] = np.float32(rel)
+    return x_ff, it, res_h
+
+
 def _mixed_inner_solve_eager(
     h_low, r, inner_tol, max_cycles, *, n_pre, n_post, alpha, use_pallas, shard=None,
     eager_cut: int = 0,
@@ -992,7 +1367,7 @@ def _ff_apply_correction(x_best, e, scale):
 def _mixed_eager_outer(
     h_low, a_ff, x_ff, b_ff, inv_norm_b,
     *, maxiter, tol, inner_tol, max_inner, n_pre, n_post, alpha, use_pallas,
-    shard=None, eager_inner=False, eager_cut: int = 0,
+    shard=None, eager_inner=False, eager_cut: int = 0, ffops=None,
 ):
     """:func:`_mixed_loop_ff` with the OUTER loop on the host.
 
@@ -1043,6 +1418,12 @@ def _mixed_eager_outer(
             res_h[i - 1] = rel_best
         if rel_best < tol or streak >= 3 or cycles >= maxiter:
             break
+        if ffops is not None and i >= 4 and rel_best > 0.1 * res_h[i - 4]:
+            # guarded refinement is only trickling (less than one decade over
+            # the last three outers) and progressive-precision cycles are
+            # available (~3 digits each at any conditioning): hand over
+            # instead of burning the cycle budget on diminishing f32 returns
+            break
 
         probe = 1 if (i % 4 == 0 and improved) else 0
         cap = min((limit if improved else 1) + probe, max_inner)
@@ -1066,6 +1447,26 @@ def _mixed_eager_outer(
     rel_out = min(rel_last, rel_best)
     if i > 0:
         res_h[i - 1] = rel_out
+
+    if rel_out > tol and ffops is not None:
+        # the f32 inner V-cycle stopped contracting above tol (eps_f32 *
+        # kappa_elem > 1 at this scale): continue with TRUE-precision
+        # progressive cycles, which converge like f64 multigrid (see
+        # _progressive_true_eager and the section comment above it)
+        remaining = maxiter - max(cycles, i)
+        if remaining > 0:
+            # drop the guarded phase's working set first (x pair + best pair +
+            # residual + last correction ≈ 2.5 GB at 1e8 DoF — enough to OOM
+            # the value-accurate cycles, whose footprint is ~2x the f32 cycle's)
+            x_cur = x_best = r_best_hi = e = None  # noqa: F841
+            x_out, it2, res2 = _progressive_true_eager(
+                h_low, ffops, x_out, b_ff, inv_norm_b,
+                maxiter=remaining, tol=tol, cut=eager_cut,
+                n_pre=n_pre, n_post=n_post, alpha=alpha,
+            )
+            res_h[i : i + it2] = res2[:it2]
+            i += it2
+            cycles += it2
     return x_out, jnp.asarray(i), jnp.asarray(cycles), jnp.asarray(res_h)
 
 
@@ -1099,6 +1500,7 @@ def v_cycle_ff(
     a_ffs,
     u_ff,
     rhs_ff,
+    coarse64=None,
     *,
     n_pre: int = 3,
     n_post: int = 3,
@@ -1146,16 +1548,38 @@ def v_cycle_ff(
             _pad_cg(lvl_c, transfer_restrict(t, _crop_cg(level, r_ff.lo))),
         )
 
-    # coarsest: f32 dense solve + one ff-defect refinement step (the coarse
-    # operator is small and mildly conditioned, so two f32 solves against an
-    # ff defect give an f64-class coarse correction)
+    # coarsest solve
     r = rhs[n - 1]
     like = r.hi
-    e1 = _unflatten_level_vec(coarse_solve(h_low.coarse, _flatten_level_vec(r.hi)), like)
-    e_ff = FF(e1, jnp.zeros_like(e1))
-    d = ff_defect(a_ffs[n - 1], e_ff, r)
-    e2 = _unflatten_level_vec(coarse_solve(h_low.coarse, _flatten_level_vec(d.hi)), like)
-    u[n - 1] = ff_add(e_ff, FF(e2, jnp.zeros_like(e2)))
+    if coarse64 is not None:
+        # f64 factorization (emulated f64 on TPU — the level is tiny, so this
+        # costs ~ms): the f32-solve-plus-one-refinement scheme below stops
+        # contracting once cond(A_coarse) >~ 1/eps_f32, which the CDir=1000n
+        # penalty reaches at the 1e8-DoF north star (measured: progressive
+        # cycles bounce in the 1e-6..1e-8 band instead of converging)
+        from ..ops.df64 import ff_split
+
+        flat64 = (
+            _flatten_level_vec(r.hi).astype(jnp.float64)
+            + _flatten_level_vec(r.lo).astype(jnp.float64)
+        )
+        e64 = coarse_solve(coarse64, flat64)
+        sp = ff_split(e64)
+        u[n - 1] = FF(
+            _unflatten_level_vec(sp.hi, like), _unflatten_level_vec(sp.lo, like)
+        )
+    else:
+        # f32 dense solve + one ff-defect refinement step (sufficient while
+        # the coarse operator is mildly conditioned)
+        e1 = _unflatten_level_vec(
+            coarse_solve(h_low.coarse, _flatten_level_vec(r.hi)), like
+        )
+        e_ff = FF(e1, jnp.zeros_like(e1))
+        d = ff_defect(a_ffs[n - 1], e_ff, r)
+        e2 = _unflatten_level_vec(
+            coarse_solve(h_low.coarse, _flatten_level_vec(d.hi)), like
+        )
+        u[n - 1] = ff_add(e_ff, FF(e2, jnp.zeros_like(e2)))
 
     for k in range(n - 2, -1, -1):
         level = h_low.levels[k]
@@ -1177,7 +1601,7 @@ def v_cycle_ff(
     static_argnames=("maxiter", "n_pre", "n_post", "alpha", "use_pallas", "shard"),
 )
 def _progressive_loop(
-    h_low, a_ffs, x_ff, b_ff, inv_norm_b,
+    h_low, a_ffs, x_ff, b_ff, inv_norm_b, coarse64=None,
     *, maxiter, tol, n_pre, n_post, alpha, use_pallas, shard=None,
 ):
     from ..ops.df64 import ff_add, ff_defect
@@ -1198,7 +1622,7 @@ def _progressive_loop(
         res_h = jax.lax.cond(i > 0, lambda h: h.at[i - 1].set(rel), lambda h: h, res_h)
         done = rel < tol32
         e_ff = v_cycle_ff(
-            h_low, a_ffs, _ff_zeros_like(r_ff), r_ff,
+            h_low, a_ffs, _ff_zeros_like(r_ff), r_ff, coarse64,
             n_pre=n_pre, n_post=n_post, alpha=alpha, use_pallas=use_pallas, shard=shard,
         )
         x_new = ff_add(x_ff, e_ff)

@@ -403,6 +403,7 @@ def build_xl_problem(
     dtype=jnp.float32,
     chebyshev: bool = True,
     slim_fine: bool = False,
+    ff_levels: bool = False,
     device=None,
     domain: tuple[float, float] = (0.0, 1.0),
 ):
@@ -428,6 +429,14 @@ def build_xl_problem(
     :class:`~..ops.df64.BTFFStencil` whose defect contracts with broadcast
     stencil blocks (zero operator traffic/residency).  Saves ~5 fine-level
     streams (~4 GB at 10^8 DoF) with identical convergence.
+
+    ``ff_levels=True`` returns a TUPLE of per-level float-float operators in
+    the ``a_ff`` slot (``a_ffs[0]`` is the usual fine operator) — the inputs
+    of the progressive-precision cycles (:func:`~.solvers.v_cycle_ff`), which
+    the mixed solver needs once ``cond(A) >~ 1/eps_f32`` (at the 1e8-DoF
+    north star the plain f32 inner cycle stops contracting around 2e-7
+    relative).  Each deeper level's hi part shares the f32 hierarchy's
+    buffers; only the lo tails (~20% of operator residency) are added.
     """
     from ..mesh.cg_mesh import CgMesh
     from ..mesh.dg_mesh import DgMesh
@@ -496,6 +505,21 @@ def build_xl_problem(
         a_ff = _stencil_ff_fine(a_ff_small, n, bw, device)
     else:
         a_ff = _inflate_ff_fine(a_ff_small, h_low.levels[0], z, bw, device)
+    if ff_levels:
+        from .hierarchy import _coarse_lu
+
+        a_ffs = (a_ff,) + _inflate_ff_tail(h64, h_low, z, bw, device)
+        t_los = _inflate_transfer_los(h64, h_low, z, bw, device)
+        # f64 coarse factorization for the progressive cycles: the f32
+        # solve-plus-refinement stops contracting once cond(A_coarse) >~
+        # 1/eps_f32 (CDir = 1000 n reaches that at the 1e8-DoF north star)
+        with on_host():
+            a_c64 = _inflate_bt_host(h64.levels[-1].a, z, bw, "coarse64.a")
+            coarse64 = _coarse_lu(BlockLevel(
+                a=a_c64, g=None, d=None, c=None, mass_inv=None, smoother=None
+            ))
+        coarse64 = jax.device_put(coarse64, device)
+        a_ff = FFOps(a_ffs=a_ffs, t_los=t_los, coarse64=coarse64)
 
     # 4) the O(n) rhs: host f64 load + BC lift from stencil data, ff split
     with on_host():
@@ -511,6 +535,8 @@ def build_xl_problem(
         norm_b = float(np.linalg.norm(np.asarray(b)))
         b_ff = ff_split(jnp.asarray(b))
     b_ff = jax.device_put(b_ff, device)
+    if ff_levels:  # a_ff is the FFOps bundle here
+        return h_low, a_ff, b_ff, norm_b
     return h_low, a_ff, b_ff, norm_b
 
 
@@ -566,6 +592,78 @@ def _stencil_ff_fine(a_ff_small, n: int, bw: int, device):
         lo_left=lo_l, lo_mid=lo_m, lo_right=lo_r, n=n,
     )
     return jax.device_put(st, device)
+
+
+class FFOps(NamedTuple):
+    """The value-accurate operator bundle for TRUE-precision progressive
+    cycles (``solvers._progressive_true_eager``): per-level float-float
+    operators, per-transfer lo tails (``blocks64 - blocks32`` rounded to
+    f32 — applying transfers as ``T_hi r_hi + (T_hi r_lo + T_lo r_hi)``
+    keeps them 2^-48-value-accurate), and the f64 coarse factorization.
+
+    Why all three: once ``eps_f32 * kappa_elem(A) > 1`` (the 1e8-DoF
+    CDir = 1000 n north star sits at ~6) EVERY f32-VALUED operator
+    application in the correction cycle — smoothing matvec, transfer,
+    defect — injects amplifying error and the V-cycle diverges at
+    ~eps_f32 * kappa per cycle, regardless of the arithmetic precision it
+    is computed in (measured in the r5 conditioning bisects).  With
+    ff-valued applications throughout the cycle contracts like f64."""
+
+    a_ffs: tuple  # per-level ff operators (a_ffs[0] may be a BTFFStencil)
+    t_los: tuple  # per-transfer lo parts (None where unsupported)
+    coarse64: object  # f64 coarse factorization
+
+
+def _inflate_ff_tail(h64, h_low, z: int, bw: int, device):
+    """Per-level float-float operators for levels 1..end (progressive-
+    precision cycles): hi shares the inflated f32 hierarchy's buffers (f32
+    cast == split hi exactly), lo tails inflate from the stencil-size f64
+    split.  Cited behavior: the reference simply keeps every level in native
+    f64 (``src/mesh_heirarchy.jl:30-181``); this is the two-f32 equivalent."""
+    from ..ops.df64 import BlockTridiagFF, CgBandFF, bt_split, cg_band_split
+
+    # ONE plan across all levels -> one _inflate_all jit (a per-level plan
+    # would pay a fresh remote compile per level: ~200 s of setup, measured)
+    plan = _Plan(z, bw)
+    builders = []
+    for k in range(1, len(h64.levels)):
+        lv64, lv = h64.levels[k], h_low.levels[k]
+        if isinstance(lv64, CgLevel):
+            sp = cg_band_split(lv64.a.band)
+            i = plan.node(np.asarray(sp.lo), lv64.a.p, f"a_ffs[{k}].lo", rtol=None)
+            builders.append(
+                lambda arrs, lv=lv, i=i: CgBandFF(hi=lv.a.band, lo=arrs[i])
+            )
+        else:
+            sp = bt_split(lv64.a)
+            lo_fn = _plan_bt(plan, sp.lo, f"a_ffs[{k}].lo", rtol=None)
+            builders.append(
+                lambda arrs, lv=lv, lo_fn=lo_fn: BlockTridiagFF(hi=lv.a, lo=lo_fn(arrs))
+            )
+    stencils = jax.device_put(tuple(plan.stencils), device)
+    arrs = _inflate_all(stencils, tuple(plan.specs), bw)
+    return tuple(fn(arrs) for fn in builders)
+
+
+def _inflate_transfer_los(h64, h_low, z: int, bw: int, device):
+    """Per-transfer lo tails ``round32(blocks64 - round32(blocks64))`` for the
+    TRUE-precision cycle (see :class:`FFOps`); one plan -> one inflate jit.
+    Transfers whose type has no lo representation yet get ``None`` (the true
+    cycle then applies them at f32 value accuracy)."""
+    plan = _Plan(z, bw)
+    idxs = []
+    for k, t64 in enumerate(h64.transfers):
+        if not isinstance(t64, BlockProlong):
+            idxs.append(None)
+            continue
+        b64 = np.asarray(t64.blocks, np.float64)
+        lo = (b64 - b64.astype(np.float32).astype(np.float64)).astype(np.float32)
+        idxs.append(plan.el(lo, f"t_lo[{k}]", rtol=None))
+    if not any(i is not None for i in idxs):
+        return tuple(idxs)
+    stencils = jax.device_put(tuple(plan.stencils), device)
+    arrs = _inflate_all(stencils, tuple(plan.specs), bw)
+    return tuple(None if i is None else BlockProlong(blocks=arrs[i]) for i in idxs)
 
 
 def _inflate_ff_fine(a_ff_small, fine_low, z: int, bw: int, device):

@@ -269,17 +269,76 @@ def _bt_concat(parts: list[BlockTridiag]) -> BlockTridiag:
     )
 
 
+# Above this many columns the interior EFT pass runs in serialized chunks:
+# the fused full-length chain otherwise holds ~12 vector-sized temporaries
+# live at once (measured 4.83 GB at 1e8 DoF — enough to push the progressive
+# cycle's working set past the v5e's 15.75 GB HBM).
+_FF_DEFECT_CHUNK = 1 << 21
+
+
+def _ff_mid_defect(a: BTFFStencil, x: FF, b: FF, n: int) -> FF:
+    """Interior defect with the broadcast mid blocks (full-length pass)."""
+    mid_ff = BlockTridiagFF(_bt_broadcast(a.hi_mid, n), _bt_broadcast(a.lo_mid, n))
+    return ff_bt_defect(mid_ff, x, b)
+
+
+def _ff_mid_defect_chunked(a: BTFFStencil, x: FF, b: FF, n: int, chunks: int) -> FF:
+    """The same interior defect over ``chunks`` serialized segments
+    (``fori_loop``): per-chunk EFT temporaries instead of vector-sized ones.
+    Bit-identical to the one-shot pass — x is zero-padded by one column per
+    side so every chunk sees exactly the global shift semantics."""
+    m = n // chunks
+    bs = x.hi.shape[0]
+    xp_hi = jnp.pad(x.hi, ((0, 0), (1, 1)))
+    xp_lo = jnp.pad(x.lo, ((0, 0), (1, 1)))
+    mid_w = BlockTridiagFF(_bt_broadcast(a.hi_mid, m), _bt_broadcast(a.lo_mid, m))
+
+    def body(c, out):
+        o_hi, o_lo = out
+        # padded coords: chunk columns [c*m + 1, c*m + m + 1), halo +-1
+        xw = FF(
+            jax.lax.dynamic_slice(xp_hi, (0, c * m), (bs, m + 2)),
+            jax.lax.dynamic_slice(xp_lo, (0, c * m), (bs, m + 2)),
+        )
+        bw_ = FF(
+            jax.lax.dynamic_slice(b.hi, (0, c * m), (bs, m)),
+            jax.lax.dynamic_slice(b.lo, (0, c * m), (bs, m)),
+        )
+        # contract the interior columns directly: shifts come from the halo
+        xm = FF(xw.hi[:, :m], xw.lo[:, :m])
+        xc = FF(xw.hi[:, 1 : m + 1], xw.lo[:, 1 : m + 1])
+        xr = FF(xw.hi[:, 2 :], xw.lo[:, 2 :])
+        acc = bw_
+        acc = _contract_ff(mid_w, lambda t: t.diag, xc, acc, -1.0)
+        acc = _contract_ff(mid_w, lambda t: t.lower, xm, acc, -1.0)
+        acc = _contract_ff(mid_w, lambda t: t.upper, xr, acc, -1.0)
+        o_hi = jax.lax.dynamic_update_slice(o_hi, acc.hi, (0, c * m))
+        o_lo = jax.lax.dynamic_update_slice(o_lo, acc.lo, (0, c * m))
+        return o_hi, o_lo
+
+    o_hi, o_lo = jax.lax.fori_loop(
+        0, chunks, body, (jnp.empty_like(x.hi), jnp.empty_like(x.lo))
+    )
+    return FF(o_hi, o_lo)
+
+
 def ff_bt_defect_stencil(a: BTFFStencil, x: FF, b: FF) -> FF:
     """``r = b - A x`` where A lives as stencils (see :class:`BTFFStencil`).
 
-    One full-length fenced EFT pass with the broadcast mid blocks (XLA fuses
-    the broadcasts into the contraction — no operator materialization), then
-    the first/last ``bw`` columns are recomputed on small windows with the
-    exact boundary blocks and spliced in."""
+    One fenced EFT pass with the broadcast mid blocks (XLA fuses the
+    broadcasts into the contraction — no operator materialization), chunked
+    above ``_FF_DEFECT_CHUNK`` columns (see :func:`_ff_mid_defect_chunked`),
+    then the first/last ``bw`` columns are recomputed on small windows with
+    the exact boundary blocks and spliced in."""
     bw = a.hi_left.diag.shape[-1]
     n = a.n
-    mid_ff = BlockTridiagFF(_bt_broadcast(a.hi_mid, n), _bt_broadcast(a.lo_mid, n))
-    r = ff_bt_defect(mid_ff, x, b)
+    chunks = 1
+    while n % (2 * chunks) == 0 and n // chunks > 2 * _FF_DEFECT_CHUNK:
+        chunks *= 2
+    if chunks > 1:
+        r = _ff_mid_defect_chunked(a, x, b, n, chunks)
+    else:
+        r = _ff_mid_defect(a, x, b, n)
 
     # boundary windows of width bw + 2: the defect needs the +-1 neighbor, so
     # columns [0, bw] of the window are exact (col bw + 1 reads a zero-padded
@@ -302,6 +361,122 @@ def ff_bt_defect_stencil(a: BTFFStencil, x: FF, b: FF) -> FF:
         return jax.lax.dynamic_update_slice(full, right[:, -bw:], (0, n - bw))
 
     return FF(splice(r.hi, r_l.hi, r_r.hi), splice(r.lo, r_l.lo, r_r.lo))
+
+
+def f64_bt_defect_stencil(a: BTFFStencil, x_ff: FF, b_ff: FF) -> FF:
+    """``r = b - A x`` in TRUE (emulated) f64 from the stencil operator,
+    consumed and produced as float-float PAIRS.
+
+    The float-float defect's accuracy is ``2^-48 * || |A| |x| || / ||b||``
+    relative — ~4e-7 at the 1e8-DoF north star's CDir = 1000 n conditioning,
+    which floors the progressive iteration above the 1e-8 target (measured:
+    cycles bounce in the 5e-8..4e-6 band once the true residual is below the
+    defect noise).  Exact f64 block values cost nothing here: ``hi + lo`` IS
+    the f64 operator, and the stencil carries only O(bw) blocks.  Emulated
+    f64 on the VPU is ~100x slower per op than f32, but one defect per outer
+    cycle is ~seconds at 1e8 DoF.
+
+    Memory: the join to f64 happens PER CHUNK inside the serialized loop and
+    the result is split back to (hi, lo) per chunk — no full-length f64
+    buffer ever exists (each would be 1.6 GB at 1e8 DoF; three of them plus
+    the f32 working set OOMed the v5e)."""
+    n = a.n
+    bs = x_ff.hi.shape[0]
+
+    def blocks64(bt_hi: BlockTridiag, bt_lo: BlockTridiag) -> BlockTridiag:
+        up = lambda h, l: h.astype(jnp.float64) + l.astype(jnp.float64)  # noqa: E731
+        return BlockTridiag(
+            lower=up(bt_hi.lower, bt_lo.lower),
+            diag=up(bt_hi.diag, bt_lo.diag),
+            upper=up(bt_hi.upper, bt_lo.upper),
+        )
+
+    mid = blocks64(a.hi_mid, a.lo_mid)
+    left = blocks64(a.hi_left, a.lo_left)
+    right = blocks64(a.hi_right, a.lo_right)
+    bw = left.diag.shape[-1]
+
+    def defect_win(bt: BlockTridiag, xw, bww, m):
+        # xw: (bs, m + 2) with +-1 halo; bt diagonals broadcastable over m
+        def c(mat, vec):
+            acc = mat[:, 0, :] * vec[0:1, :]
+            for j in range(1, bs):
+                acc = acc + mat[:, j, :] * vec[j : j + 1, :]
+            return acc
+
+        return (
+            bww
+            - c(bt.diag, xw[:, 1 : m + 1])
+            - c(bt.lower, xw[:, :m])
+            - c(bt.upper, xw[:, 2:])
+        )
+
+    chunks = 1
+    while n % (2 * chunks) == 0 and n // chunks > 2 * _FF_DEFECT_CHUNK:
+        chunks *= 2
+    m = n // chunks
+    xp_hi = jnp.pad(x_ff.hi, ((0, 0), (1, 1)))
+    xp_lo = jnp.pad(x_ff.lo, ((0, 0), (1, 1)))
+
+    def join(hi, lo):
+        return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+    def split(r):
+        hi = r.astype(jnp.float32)
+        return hi, (r - hi.astype(jnp.float64)).astype(jnp.float32)
+
+    def body(c, out):
+        o_hi, o_lo = out
+        xw = join(
+            jax.lax.dynamic_slice(xp_hi, (0, c * m), (bs, m + 2)),
+            jax.lax.dynamic_slice(xp_lo, (0, c * m), (bs, m + 2)),
+        )
+        bww = join(
+            jax.lax.dynamic_slice(b_ff.hi, (0, c * m), (bs, m)),
+            jax.lax.dynamic_slice(b_ff.lo, (0, c * m), (bs, m)),
+        )
+        r_hi, r_lo = split(defect_win(mid, xw, bww, m))
+        o_hi = jax.lax.dynamic_update_slice(o_hi, r_hi, (0, c * m))
+        o_lo = jax.lax.dynamic_update_slice(o_lo, r_lo, (0, c * m))
+        return o_hi, o_lo
+
+    o_hi, o_lo = jax.lax.fori_loop(
+        0, chunks, body, (jnp.empty_like(x_ff.hi), jnp.empty_like(x_ff.lo))
+    )
+
+    # boundary windows with the exact blocks (cf. ff_bt_defect_stencil)
+    w = bw + 2
+    mk = lambda sel_a, sel_b: BlockTridiag(  # noqa: E731
+        lower=jnp.concatenate([sel_a.lower, sel_b.lower], axis=-1),
+        diag=jnp.concatenate([sel_a.diag, sel_b.diag], axis=-1),
+        upper=jnp.concatenate([sel_a.upper, sel_b.upper], axis=-1),
+    )
+    bcast = lambda t, k: BlockTridiag(  # noqa: E731
+        lower=jnp.broadcast_to(t.lower, t.lower.shape[:-1] + (k,)),
+        diag=jnp.broadcast_to(t.diag, t.diag.shape[:-1] + (k,)),
+        upper=jnp.broadcast_to(t.upper, t.upper.shape[:-1] + (k,)),
+    )
+    zcol = jnp.zeros((bs, 1), jnp.float64)
+    bl = mk(left, bcast(mid, w - bw))
+    xw = jnp.concatenate(
+        [zcol, join(x_ff.hi[:, : w + 1], x_ff.lo[:, : w + 1])], axis=1
+    )  # halo: 0 | x[0..w]
+    r_l_hi, r_l_lo = split(
+        defect_win(bl, xw, join(b_ff.hi[:, :w], b_ff.lo[:, :w]), w)
+    )
+    br = mk(bcast(mid, w - bw), right)
+    xw = jnp.concatenate(
+        [join(x_ff.hi[:, n - w - 1 :], x_ff.lo[:, n - w - 1 :]), zcol], axis=1
+    )  # x[n-w-1..] | 0
+    r_r_hi, r_r_lo = split(
+        defect_win(br, xw, join(b_ff.hi[:, n - w :], b_ff.lo[:, n - w :]), w)
+    )
+
+    def splice(full, left_v, right_v):
+        full = jax.lax.dynamic_update_slice(full, left_v[:, :bw], (0, 0))
+        return jax.lax.dynamic_update_slice(full, right_v[:, -bw:], (0, n - bw))
+
+    return FF(splice(o_hi, r_l_hi, r_r_hi), splice(o_lo, r_l_lo, r_r_lo))
 
 
 class CgBandFF(NamedTuple):

@@ -188,10 +188,10 @@ class _ShardPlan:
         self.bw = bw
         self.mesh = mesh
 
-    def el(self, arr, what: str, sharded: bool):
+    def el(self, arr, what: str, sharded: bool, rtol="auto"):
         from ..models.stencil_setup import _extract_el
 
-        st = _extract_el(arr, self.bw, what)
+        st = _extract_el(arr, self.bw, what, rtol)
         n_big = np.asarray(arr).shape[-1] * self.z
         if not sharded:
             # small level: inflate on the host (it IS small) and replicate
@@ -199,13 +199,15 @@ class _ShardPlan:
         return _sharded_from_stencil(st, n_big, self.mesh, np.asarray(arr).shape[:-1])
 
     def node(self, arr, p: int, what: str, sharded: bool, n_pad: int | None = None,
-             pad_fill=0.0):
+             pad_fill=0.0, rtol="auto"):
         """Node-axis leaf (period ``p`` interior), ghost-padded to ``n_pad``
         columns filled with ``pad_fill`` (scalar or one value per leading
-        row) so it divides evenly across devices."""
+        row) so it divides evenly across devices.  ``rtol=None`` skips the
+        translation-invariance check (float-float lo tails legitimately
+        jitter by one ULP of hi — see stencil_setup._check_constant)."""
         from ..models.stencil_setup import _extract_nodes
 
-        st = _extract_nodes(np.asarray(arr), p, self.bw, what)
+        st = _extract_nodes(np.asarray(arr), p, self.bw, what, rtol)
         n_el_big = ((np.asarray(arr).shape[-1] - 1) // p) * self.z
         n_nodes = n_el_big * p + 1
         if n_pad is None:
@@ -261,6 +263,7 @@ def build_sharded_xl_problem(
     bw: int = 4,
     chebyshev: bool = True,
     slim_fine: bool = False,
+    ff_levels: bool = False,
     min_blocks_per_device: int = 128,
 ):
     """Stencil-inflated problem, constructed shard-locally — DG-topped chains
@@ -453,7 +456,7 @@ def build_sharded_xl_problem(
             hi=h_low.levels[0].a.band,  # shares the sharded fine band buffers
             lo=plan.node(
                 np.asarray(a_ff_small.lo), p, "a_ff.lo", shard_flags[0],
-                n_pad=n_pad, pad_fill=0.0,  # hi pad is identity, lo pad 0
+                n_pad=n_pad, pad_fill=0.0, rtol=None,  # hi pad identity, lo pad 0
             ),
         )
         b_ff, norm_b = _sharded_cg_b(
@@ -467,12 +470,48 @@ def build_sharded_xl_problem(
     else:
         # hi shares the fine level's buffers, lo inflates shard-locally
         lo_bt = BlockTridiag(
-            lower=plan.el(np.asarray(a_ff_small.lo.lower), "a_ff.lo.lower", shard_flags[0]),
-            diag=plan.el(np.asarray(a_ff_small.lo.diag), "a_ff.lo.diag", shard_flags[0]),
-            upper=plan.el(np.asarray(a_ff_small.lo.upper), "a_ff.lo.upper", shard_flags[0]),
+            lower=plan.el(np.asarray(a_ff_small.lo.lower), "a_ff.lo.lower",
+                          shard_flags[0], rtol=None),
+            diag=plan.el(np.asarray(a_ff_small.lo.diag), "a_ff.lo.diag",
+                         shard_flags[0], rtol=None),
+            upper=plan.el(np.asarray(a_ff_small.lo.upper), "a_ff.lo.upper",
+                          shard_flags[0], rtol=None),
         )
         a_ff = BlockTridiagFF(hi=h_low.levels[0].a, lo=lo_bt)
         b_ff, norm_b = _sharded_dg_b(prob0, spec, n, h, func, bw, mesh, shard_flags[0])
+
+    if ff_levels:
+        # per-level float-float operators for progressive-precision cycles
+        # (cf. stencil_setup._inflate_ff_tail), built shard-locally: hi
+        # shares each level's f32 buffers, lo tails slice from stencils
+        from ..ops.df64 import bt_split, cg_band_split
+
+        tail = []
+        for k in range(1, len(h64.levels)):
+            lv64, lv = h64.levels[k], h_low.levels[k]
+            if isinstance(lv64, CgLevel):
+                sp = cg_band_split(lv64.a.band)
+                tail.append(CgBandFF(
+                    hi=lv.a.band,
+                    lo=plan.node(
+                        np.asarray(sp.lo), lv64.a.p, f"a_ffs[{k}].lo",
+                        shard_flags[k], n_pad=cg_pads[k], pad_fill=0.0, rtol=None,
+                    ),
+                ))
+            else:
+                sp = bt_split(lv64.a)
+                tail.append(BlockTridiagFF(
+                    hi=lv.a,
+                    lo=BlockTridiag(
+                        lower=plan.el(np.asarray(sp.lo.lower),
+                                      f"a_ffs[{k}].lo.lower", shard_flags[k], rtol=None),
+                        diag=plan.el(np.asarray(sp.lo.diag),
+                                     f"a_ffs[{k}].lo.diag", shard_flags[k], rtol=None),
+                        upper=plan.el(np.asarray(sp.lo.upper),
+                                      f"a_ffs[{k}].lo.upper", shard_flags[k], rtol=None),
+                    ),
+                ))
+        a_ff = (a_ff,) + tuple(tail)
     return h_low, a_ff, b_ff, norm_b
 
 

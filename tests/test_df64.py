@@ -141,3 +141,106 @@ def test_progressive_precision_matches_f64_iterations():
         nb = float(jnp.linalg.norm(b.T.reshape(-1) if b.ndim > 1 else b))
         assert np.asarray(res.res_history)[it - 1] < 1e-10 * nb
         assert it <= int(r64.iterations) + 2, (it, int(r64.iterations))
+
+
+def test_ff_stencil_defect_chunked_matches_oneshot(rng):
+    """The chunked interior EFT pass (used above _FF_DEFECT_CHUNK columns to
+    bound fused-temporary memory) is bit-identical to the one-shot pass."""
+    from agglomerationmultigrid1d_tpu.ops import df64
+    from agglomerationmultigrid1d_tpu.ops.block_tridiag import BlockTridiag
+    from agglomerationmultigrid1d_tpu.ops.df64 import FF, BTFFStencil
+
+    bs, bw, n = 2, 4, 1024
+
+    def bt(m):
+        return BlockTridiag(
+            lower=jnp.asarray(rng.standard_normal((bs, bs, m)), jnp.float32),
+            diag=jnp.asarray(rng.standard_normal((bs, bs, m)), jnp.float32),
+            upper=jnp.asarray(rng.standard_normal((bs, bs, m)), jnp.float32),
+        )
+
+    st = BTFFStencil(
+        hi_left=bt(bw), hi_mid=bt(1), hi_right=bt(bw),
+        lo_left=jax.tree_util.tree_map(lambda x: 1e-7 * x, bt(bw)),
+        lo_mid=jax.tree_util.tree_map(lambda x: 1e-7 * x, bt(1)),
+        lo_right=jax.tree_util.tree_map(lambda x: 1e-7 * x, bt(bw)),
+        n=n,
+    )
+    x = FF(
+        jnp.asarray(rng.standard_normal((bs, n)), jnp.float32),
+        jnp.asarray(1e-7 * rng.standard_normal((bs, n)), jnp.float32),
+    )
+    b = FF(
+        jnp.asarray(rng.standard_normal((bs, n)), jnp.float32),
+        jnp.asarray(1e-7 * rng.standard_normal((bs, n)), jnp.float32),
+    )
+    r_one = df64.ff_bt_defect_stencil(st, x, b)
+    old = df64._FF_DEFECT_CHUNK
+    try:
+        df64._FF_DEFECT_CHUNK = 64  # force 8 chunks at n = 1024
+        r_chunk = df64.ff_bt_defect_stencil(st, x, b)
+    finally:
+        df64._FF_DEFECT_CHUNK = old
+    # hi is bit-identical; lo may differ by XLA:CPU reassociation inside the
+    # EFT tail (~1e-13 abs) — the meaningful invariant is the hi+lo value
+    np.testing.assert_array_equal(np.asarray(r_chunk.hi), np.asarray(r_one.hi))
+    v_chunk = np.asarray(r_chunk.hi, np.float64) + np.asarray(r_chunk.lo, np.float64)
+    v_one = np.asarray(r_one.hi, np.float64) + np.asarray(r_one.lo, np.float64)
+    np.testing.assert_allclose(
+        v_chunk, v_one, rtol=0, atol=1e-11 * float(np.abs(v_one).max())
+    )
+
+
+def test_f64_stencil_defect_matches_numpy(rng):
+    """The true-f64 stencil defect (progressive outer loop above the ff
+    accuracy floor) equals a dense NumPy f64 defect to f64 roundoff."""
+    from agglomerationmultigrid1d_tpu.ops import df64
+    from agglomerationmultigrid1d_tpu.ops.block_tridiag import BlockTridiag
+    from agglomerationmultigrid1d_tpu.ops.df64 import BTFFStencil, f64_bt_defect_stencil
+
+    bs, bw, n = 2, 4, 512
+
+    def bt(m):
+        return BlockTridiag(
+            lower=jnp.asarray(rng.standard_normal((bs, bs, m)), jnp.float32),
+            diag=jnp.asarray(rng.standard_normal((bs, bs, m)), jnp.float32),
+            upper=jnp.asarray(rng.standard_normal((bs, bs, m)), jnp.float32),
+        )
+
+    st = BTFFStencil(
+        hi_left=bt(bw), hi_mid=bt(1), hi_right=bt(bw),
+        lo_left=jax.tree_util.tree_map(lambda x: 1e-7 * x, bt(bw)),
+        lo_mid=jax.tree_util.tree_map(lambda x: 1e-7 * x, bt(1)),
+        lo_right=jax.tree_util.tree_map(lambda x: 1e-7 * x, bt(bw)),
+        n=n,
+    )
+    x64 = jnp.asarray(rng.standard_normal((bs, n)))
+    b64 = jnp.asarray(rng.standard_normal((bs, n)))
+    from agglomerationmultigrid1d_tpu.ops.df64 import ff_join, ff_split
+
+    r_pair = f64_bt_defect_stencil(st, ff_split(x64), ff_split(b64))
+    r = np.asarray(ff_join(r_pair))
+
+    # dense NumPy reference: materialize the f64 diagonals from the stencils
+    def full(sel):
+        parts = []
+        for name, reps in (("left", None), ("mid", n - 2 * bw), ("right", None)):
+            h = np.asarray(getattr(getattr(st, f"hi_{name}"), sel), np.float64)
+            l = np.asarray(getattr(getattr(st, f"lo_{name}"), sel), np.float64)
+            v = h + l
+            if reps is not None:
+                v = np.broadcast_to(v, v.shape[:-1] + (reps,))
+            parts.append(v)
+        return np.concatenate(parts, axis=-1)
+
+    lo_, di_, up_ = full("lower"), full("diag"), full("upper")
+    xn = np.asarray(x64)
+    xm = np.concatenate([np.zeros((bs, 1)), xn[:, :-1]], axis=1)
+    xp = np.concatenate([xn[:, 1:], np.zeros((bs, 1))], axis=1)
+    ref = (
+        np.asarray(b64)
+        - np.einsum("ijn,jn->in", di_, xn)
+        - np.einsum("ijn,jn->in", lo_, xm)
+        - np.einsum("ijn,jn->in", up_, xp)
+    )
+    np.testing.assert_allclose(r, ref, rtol=0, atol=1e-13 * float(np.abs(ref).max()))

@@ -256,6 +256,8 @@ import numpy as np
 from agglomerationmultigrid1d_tpu.models.solvers import (
     _mixed_eager_outer,
     _mixed_loop_ff,
+    _progressive_eager,
+    _progressive_loop,
 )
 from agglomerationmultigrid1d_tpu.models.stencil_setup import build_xl_problem
 from agglomerationmultigrid1d_tpu.ops.df64 import FF
@@ -265,9 +267,70 @@ n = 4096
 spec = HierarchySpec(
     cg_orders=(), dg_orders=(1,), n_agg_levels=4, p_agg=1, c_dir=1000.0 * n
 )
-h32, a_ff, b_ff, norm_b = build_xl_problem(spec, n, z=8, slim_fine=True)
+h32, ffops, b_ff, norm_b = build_xl_problem(
+    spec, n, z=8, slim_fine=True, ff_levels=True
+)
+a_ffs, coarse64 = ffops.a_ffs, ffops.coarse64
+a_ff = a_ffs[0]
 x0 = FF(jnp.zeros_like(b_ff.hi), jnp.zeros_like(b_ff.hi))
 inv_nb = jnp.asarray(1.0 / norm_b, jnp.float32)
+
+# split-program progressive cycles == the fused _progressive_loop, bit-exact
+# (both with the f32+refinement coarse and the f64 coarse factorization)
+pkw = dict(n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=False)
+for c64 in (None, coarse64):
+    xf_p, itf_p, hf_p = _progressive_loop(
+        h32, a_ffs, x0, b_ff, inv_nb, c64, maxiter=6, tol=1e-30, **pkw
+    )
+    for cut in (1, 2):
+        xe_p, ite_p, he_p = _progressive_eager(
+            h32, a_ffs, x0, b_ff, inv_nb, c64, maxiter=6, tol=1e-30, cut=cut, **pkw
+        )
+        assert int(ite_p) == int(itf_p), (cut, int(ite_p), int(itf_p))
+        np.testing.assert_array_equal(np.asarray(xe_p.hi), np.asarray(xf_p.hi))
+        np.testing.assert_array_equal(np.asarray(xe_p.lo), np.asarray(xf_p.lo))
+        hfn, hen = np.asarray(hf_p), np.asarray(he_p)
+        mask = ~np.isnan(hfn)
+        np.testing.assert_array_equal(mask, ~np.isnan(hen))
+        np.testing.assert_allclose(hen[mask], hfn[mask], rtol=0, atol=0)
+# the TRUE-precision cycle (value-accurate operators + f64 outer defect)
+# converges BELOW the float-float accuracy floor
+# (~2^-48 * |||A||x||/||b|| — about 3e-11 at this n, ~4e-7 at the 1e8 north star)
+from agglomerationmultigrid1d_tpu.models.solvers import _progressive_true_eager
+xt, itt, ht = _progressive_true_eager(
+    h32, ffops, x0, b_ff, inv_nb, maxiter=35, tol=1e-11, cut=1,
+    n_pre=3, n_post=3, alpha=2.0 / 3.0,
+)
+assert ht[itt - 1] < 1e-11, (itt, ht[itt - 1])
+print("PROGRESSIVE_PARITY_OK")
+
+# THE conditioning regression: with c_dir inflated to match the 1e8-DoF north
+# star's eps32*kappa_elem ~ 6, plain ff cycles AMPLIFY (~3.4x/cycle) while the
+# TRUE-precision cycle must converge like f64 multigrid
+n2 = 16384
+spec2 = HierarchySpec(
+    cg_orders=(), dg_orders=(1,), n_agg_levels=4, p_agg=1, agg_factor=4,
+    c_dir=1000.0 * float(3 << 24) ** 2 / n2,
+)
+h2, ff2, b2, nb2 = build_xl_problem(spec2, n2, slim_fine=True, ff_levels=True)
+z2 = FF(jnp.zeros_like(b2.hi), jnp.zeros_like(b2.hi))
+xk, itk, hk = _progressive_true_eager(
+    h2, ff2, z2, b2, jnp.asarray(1.0 / nb2, jnp.float32),
+    maxiter=25, tol=1e-10, cut=1, n_pre=3, n_post=3, alpha=2.0 / 3.0,
+)
+assert hk[itk - 1] < 1e-10, (itk, hk[itk - 1])
+print("TRUE_KAPPA_OK")
+
+# and the guarded mixed loop HANDS OVER to the true cycles when its f32
+# refinement stalls (the trickle-detection rule), converging end to end
+xm, om, cm, hm = _mixed_eager_outer(
+    h2, ff2.a_ffs[0], z2, b2, jnp.asarray(1.0 / nb2, jnp.float32),
+    maxiter=60, tol=1e-9, inner_tol=3.0e-5, max_inner=20,
+    n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=False,
+    eager_inner=True, eager_cut=1, ffops=ff2,
+)
+assert np.asarray(hm)[int(om) - 1] < 1e-9, np.asarray(hm)[: int(om)]
+print("MIXED_HANDOVER_OK")
 kw = dict(
     maxiter=40, tol=1e-8, inner_tol=3.0e-5, max_inner=20,
     n_pre=3, n_post=3, alpha=2.0 / 3.0, use_pallas=False,
@@ -313,4 +376,7 @@ def test_eager_outer_matches_fused():
         cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "PROGRESSIVE_PARITY_OK" in proc.stdout
+    assert "TRUE_KAPPA_OK" in proc.stdout
+    assert "MIXED_HANDOVER_OK" in proc.stdout
     assert "EAGER_PARITY_OK" in proc.stdout
