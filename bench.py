@@ -391,7 +391,7 @@ def bench_flagship_solve(n: int):
     return dt, cyc, dt_c, cyc_c, dof, setup_s
 
 
-def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
+def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8, on_update=None):
     """10^8-DoF single-chip demonstration (BASELINE config 5 scale, north-star
     size): stencil-inflated setup (``models/stencil_setup.py`` — O(n/z) host
     work, operators broadcast-assembled on the chip), fused-kernel smoother
@@ -424,6 +424,13 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
 
     out = {"xl_dof": n_el * (p_fine + 1)}
 
+    def push():
+        # stream partial metrics upward: the XL stage is the longest and runs
+        # last — if the driver's hard timeout lands mid-stage, the keys
+        # gathered so far must already be in the emitted record
+        if on_update is not None:
+            on_update(dict(out))
+
     def _spec(m_el: int) -> HierarchySpec:
         # coarsen the agg chain 4:1 throughout to ~12k agglomerates: deep
         # enough that the cyclic-reduction coarse solve is negligible, and
@@ -451,15 +458,17 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
     log(f"XL stencil setup ({n_el} el, {out['xl_dof']:.3g} DoF, "
         f"{h32.n_levels} levels): {out['xl_setup_s']}s as-found (host stencils "
         "+ rhs + inflation + transfer)")
+    push()
     # warm rebuild: same programs, compile caches hot — the steady-state setup
     # cost a user pays per new problem instance (drop refs first: two copies
     # of the fine level do not fit HBM at 1e8 DoF)
-    del h32, a_ffs, b_ff, coarse64
+    del h32, ffops, b_ff
     t0 = time.time()
     h32, ffops, b_ff, norm_b = _build(n_el)
     jax.block_until_ready(h32.levels[0].a)
     out["xl_setup_warm_s"] = round(time.time() - t0, 1)
     log(f"XL stencil setup warm: {out['xl_setup_warm_s']}s")
+    push()
 
     # smoother sweeps at full problem size (the north-star per-chip metric)
     fine = h32.levels[0]
@@ -484,6 +493,7 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
     out["xl_sweep_gbps"] = round(xl_bytes / (3.0 * dt) / 1e9, 1)
     log(f"XL fused multisweep at {out['xl_dof']:.3g} DoF: {dt*1e3:.3f} ms/sweep "
         f"-> {out['xl_sweep_gnnz_s']} GNNZ/s ({out['xl_sweep_gbps']} GB/s)")
+    push()
     del x  # free the timed iterate before the solve (HBM is tight at 1e8 DoF)
 
     if os.environ.get("AGGMG_BENCH_XL_SOLVE", "1") == "0":
@@ -525,11 +535,13 @@ def bench_xl_solve(n_el: int, p_fine: int = 1, tol: float = 1e-8):
             else:  # fallback size: record the ceiling, not the headline keys
                 out["xl_solve_fallback_s"] = solve_s
             log(f"XL solve steady ({attempt_el} el): {solve_s}s to rel res "
-                f"{rel:.2e} ({cycles} f32 V-cycles)")
+                f"{rel:.2e} ({cycles} true-precision cycles)")
+            push()
             break
         except Exception as e:  # keep the setup/sweep metrics already gathered
             if "xl_solve_error" not in out:
                 out["xl_solve_error"] = str(e)[:200]
+            push()
             log(f"XL solve failed at {attempt_el} el: {e}")
             attempt_el //= 2
             if attempt_el < n_el // 4 or remaining() < 240:
@@ -617,7 +629,12 @@ def main():
         # default 5.03e7 elements = 1.006e8 DoF at p=1 (the BASELINE north-star
         # problem size, single chip)
         xl_el = int(os.environ.get("AGGMG_BENCH_XL_EL", str(1 << 16 if SMALL else 3 << 24)))
-        result.update(bench_xl_solve(xl_el))
+
+        def _push(partial):
+            result.update(partial)
+            emit(result)
+
+        result.update(bench_xl_solve(xl_el, on_update=_push))
         if result.get("multisweep_gbps") and result.get("xl_sweep_gbps"):
             # == 100 means the north-star sweep saturates the same HBM
             # bandwidth as the bs = 4 headline; the GNNZ/s difference is the
