@@ -332,13 +332,22 @@ def ff_bt_defect_stencil(a: BTFFStencil, x: FF, b: FF) -> FF:
     the exact boundary blocks and spliced in."""
     bw = a.hi_left.diag.shape[-1]
     n = a.n
-    chunks = 1
-    while n % (2 * chunks) == 0 and n // chunks > 2 * _FF_DEFECT_CHUNK:
-        chunks *= 2
-    if chunks > 1:
-        r = _ff_mid_defect_chunked(a, x, b, n, chunks)
-    else:
-        r = _ff_mid_defect(a, x, b, n)
+    r = None
+    if jax.default_backend() != "cpu" and x.hi.dtype == jnp.float32:
+        # one fused VMEM pass (the hot loop of the true-precision cycle);
+        # identical EFT operation order, ~memory-bound instead of ~80x above
+        # the HBM floor — see ops/pallas/block_kernels.py
+        from .pallas import pallas_ff_stencil_mid_defect
+
+        r = pallas_ff_stencil_mid_defect(a.hi_mid, a.lo_mid, x, b)
+    if r is None:
+        chunks = 1
+        while n % (2 * chunks) == 0 and n // chunks > 2 * _FF_DEFECT_CHUNK:
+            chunks *= 2
+        if chunks > 1:
+            r = _ff_mid_defect_chunked(a, x, b, n, chunks)
+        else:
+            r = _ff_mid_defect(a, x, b, n)
 
     # boundary windows of width bw + 2: the defect needs the +-1 neighbor, so
     # columns [0, bw] of the window are exact (col bw + 1 reads a zero-padded

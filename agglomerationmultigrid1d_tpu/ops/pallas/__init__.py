@@ -5,6 +5,7 @@ from .block_kernels import (
     pallas_block_jacobi_sweep,
     pallas_bt_matvec,
     pallas_chebyshev_multisweep,
+    pallas_ff_stencil_mid_defect,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "pallas_block_jacobi_sweep",
     "pallas_bt_matvec",
     "pallas_chebyshev_multisweep",
+    "pallas_ff_stencil_mid_defect",
 ]

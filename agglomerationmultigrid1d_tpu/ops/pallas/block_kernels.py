@@ -576,3 +576,90 @@ def _multisweep_impl(a, s_inv, x, b, n_sweeps, alpha, interpret, emit_residual,
             interpret=interpret,
         )(*args)
     return tuple(res) if emit_residual else res
+
+
+# ---------------------------------------------------------------------------
+# Float-float stencil defect (TRUE-precision cycle hot loop)
+# ---------------------------------------------------------------------------
+#
+# The interior of ``df64.ff_bt_defect_stencil`` — ``r = b - A x`` with ONE
+# broadcast (bs, bs) float-float block per diagonal — is the hot loop of the
+# true-precision progressive cycle: ~7 evaluations per V-cycle at the 1e8-DoF
+# north star.  The XLA formulation (serialized fori_loop chunks of fenceless
+# EFT chains) runs ~80x above its HBM floor (x, b pairs in + r pair out =
+# 2.4 GB at 1e8 DoF ~ 5 ms); this kernel does the whole EFT chain in VMEM in
+# one pass, mirroring ``df64._contract_ff``'s operation order exactly
+# (diag, lower, upper; block columns ascending; product negated then added).
+
+
+def _ff_stencil_defect_kernel(
+    dh, lh, uh, dl, ll, ul, xhc, xhl, xhr, xlc, xll, xlr, bh, bl, oh, ol, *, bs
+):
+    from ..df64 import FF, ff_add, ff_mul, ff_neg
+
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+    xh = xhc[...]
+    xhm, xhp = _neighbor_splice(xh, xhl[...], xhr[...], i, ni)
+    xlo = xlc[...]
+    xlm, xlp = _neighbor_splice(xlo, xll[...], xlr[...], i, ni)
+    acc = FF(bh[...], bl[...])
+    for mh_ref, ml_ref, vh, vl in (
+        (dh, dl, xh, xlo),
+        (lh, ll, xhm, xlm),
+        (uh, ul, xhp, xlp),
+    ):
+        for j in range(bs):
+            a = FF(mh_ref[:, j, :], ml_ref[:, j, :])  # (bs, 1) broadcast block col
+            t = ff_mul(a, FF(vh[j : j + 1, :], vl[j : j + 1, :]))
+            acc = ff_add(acc, ff_neg(t))
+    oh[...] = acc.hi
+    ol[...] = acc.lo
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_ff_stencil_mid_defect(hi_mid, lo_mid, x_ff, b_ff, interpret: bool = False):
+    """Interior (mid-stencil-everywhere) float-float defect as ONE Pallas
+    pass; returns ``None``-equivalent via fallback in the caller for
+    unsupported dtypes/shapes.  ``hi_mid``/``lo_mid`` are BlockTridiags of
+    shape (bs, bs, 1); x_ff/b_ff are FF pairs of (bs, n) f32 vectors.
+
+    Boundary columns are WRONG here (computed with the interior block) —
+    the caller splices the exact boundary windows afterwards, exactly like
+    the XLA path (``df64.ff_bt_defect_stencil``)."""
+    from ..df64 import FF
+
+    bs, _, _one = hi_mid.diag.shape
+    n = x_ff.hi.shape[-1]
+    # own tile pick: 8 (bs, tile) vector streams (x/b pairs in with neighbor
+    # tiles, r pair out) PLUS ~40 live EFT-chain temporaries per lane (the
+    # error-free transforms hold many intermediates — measured 23.9 MB scoped
+    # VMEM at tile 32768, over the 16 MB limit), double-buffered
+    per_lane = (8 + 40) * bs * jnp.dtype(jnp.float32).itemsize * 2
+    tile = 1 << 20
+    while tile > 128 and (
+        tile * per_lane > 6 * 1024 * 1024 or n % tile != 0 or tile > n // 2
+    ):
+        tile //= 2
+    if x_ff.hi.dtype != jnp.float32 or n % tile != 0 or n < 2 * tile:
+        return None
+
+    spec_m = pl.BlockSpec((bs, bs, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    _, specv, specl, specr = _specs(bs, tile)
+    kernel = functools.partial(_ff_stencil_defect_kernel, bs=bs)
+    shape = jax.ShapeDtypeStruct((bs, n), jnp.float32)
+    with _x32_scope():
+        oh, ol = pl.pallas_call(
+            kernel,
+            grid=(n // tile,),
+            in_specs=[spec_m] * 6 + [specv, specl, specr] * 2 + [specv] * 2,
+            out_specs=[specv, specv],
+            out_shape=[shape, shape],
+            interpret=interpret,
+        )(
+            hi_mid.diag, hi_mid.lower, hi_mid.upper,
+            lo_mid.diag, lo_mid.lower, lo_mid.upper,
+            x_ff.hi, x_ff.hi, x_ff.hi, x_ff.lo, x_ff.lo, x_ff.lo,
+            b_ff.hi, b_ff.lo,
+        )
+    return FF(oh, ol)

@@ -178,3 +178,44 @@ def test_pallas_chebyshev_multisweep_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(r), np.asarray(r_ref), atol=2e-4 * float(jnp.abs(b).max())
     )
+
+
+def test_pallas_ff_stencil_mid_defect_matches_xla(rng):
+    """The fused float-float stencil-defect kernel (true-precision cycle hot
+    loop) == the XLA interior pass, to the pair-sum's f64-class accuracy (the
+    CPU XLA path carries optimization-barrier fences the kernel does not, so
+    lo tails may differ by reassociation; the hi+lo value is the invariant)."""
+    from agglomerationmultigrid1d_tpu.ops import df64
+    from agglomerationmultigrid1d_tpu.ops.df64 import FF, BTFFStencil
+    from agglomerationmultigrid1d_tpu.ops.pallas import pallas_ff_stencil_mid_defect
+
+    bs, n = 2, 16384  # tile = 8192 here; need n >= 2 * tile
+
+    def bt1():
+        return BlockTridiag(
+            lower=jnp.asarray(rng.standard_normal((bs, bs, 1)), jnp.float32),
+            diag=jnp.asarray(rng.standard_normal((bs, bs, 1)), jnp.float32),
+            upper=jnp.asarray(rng.standard_normal((bs, bs, 1)), jnp.float32),
+        )
+
+    hi_mid, lo_mid = bt1(), jax.tree_util.tree_map(lambda v: 1e-7 * v, bt1())
+    x = FF(
+        jnp.asarray(rng.standard_normal((bs, n)), jnp.float32),
+        jnp.asarray(1e-7 * rng.standard_normal((bs, n)), jnp.float32),
+    )
+    b = FF(
+        jnp.asarray(rng.standard_normal((bs, n)), jnp.float32),
+        jnp.asarray(1e-7 * rng.standard_normal((bs, n)), jnp.float32),
+    )
+    out = pallas_ff_stencil_mid_defect(hi_mid, lo_mid, x, b, interpret=True)
+    assert out is not None
+    st = BTFFStencil(
+        hi_left=hi_mid, hi_mid=hi_mid, hi_right=hi_mid,
+        lo_left=lo_mid, lo_mid=lo_mid, lo_right=lo_mid, n=n,
+    )
+    ref = df64._ff_mid_defect(st, x, b, n)
+    v_out = np.asarray(out.hi, np.float64) + np.asarray(out.lo, np.float64)
+    v_ref = np.asarray(ref.hi, np.float64) + np.asarray(ref.lo, np.float64)
+    np.testing.assert_allclose(
+        v_out, v_ref, rtol=0, atol=1e-11 * float(np.abs(v_ref).max())
+    )

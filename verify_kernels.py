@@ -133,6 +133,39 @@ def main() -> int:
     )(a, inv, x, b)
     check("sharded_chebyshev_multisweep(3)", xcs, xc_ref)
 
+    # fused float-float stencil defect (true-precision cycle hot loop) vs the
+    # XLA interior pass — identical EFT operation order on this backend
+    print("float-float stencil defect kernel:")
+    from agglomerationmultigrid1d_tpu.ops.df64 import (
+        FF,
+        BTFFStencil,
+        _ff_mid_defect,
+    )
+    from agglomerationmultigrid1d_tpu.ops.pallas import pallas_ff_stencil_mid_defect
+
+    bs2, n2 = 2, 1 << 18
+    bt1 = lambda s: BlockTridiag(  # noqa: E731
+        jnp.asarray(rng.normal(size=(bs2, bs2, 1)) * s, jnp.float32),
+        jnp.asarray(rng.normal(size=(bs2, bs2, 1)) * s, jnp.float32),
+        jnp.asarray(rng.normal(size=(bs2, bs2, 1)) * s, jnp.float32),
+    )
+    hi_mid, lo_mid = bt1(1.0), bt1(1e-7)
+    xf = FF(
+        jnp.asarray(rng.normal(size=(bs2, n2)), jnp.float32),
+        jnp.asarray(1e-7 * rng.normal(size=(bs2, n2)), jnp.float32),
+    )
+    bf = FF(
+        jnp.asarray(rng.normal(size=(bs2, n2)), jnp.float32),
+        jnp.asarray(1e-7 * rng.normal(size=(bs2, n2)), jnp.float32),
+    )
+    out_k = pallas_ff_stencil_mid_defect(hi_mid, lo_mid, xf, bf)
+    st2 = BTFFStencil(hi_left=hi_mid, hi_mid=hi_mid, hi_right=hi_mid,
+                      lo_left=lo_mid, lo_mid=lo_mid, lo_right=lo_mid, n=n2)
+    ref2 = _ff_mid_defect(st2, xf, bf, n2)
+    vk = np.asarray(out_k.hi, np.float64) + np.asarray(out_k.lo, np.float64)
+    vr = np.asarray(ref2.hi, np.float64) + np.asarray(ref2.lo, np.float64)
+    check("pallas_ff_stencil_mid_defect", vk, vr, rtol=1e-11)
+
     # float-float defect accuracy WITHOUT the CPU-only optimization_barrier
     # fences (ops.df64._use_barriers): XLA:TPU must preserve the error-free
     # transforms — the defect of a random system must match the f64 reference
