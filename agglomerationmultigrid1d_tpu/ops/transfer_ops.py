@@ -120,16 +120,51 @@ def bp_prolong(l: BlockProlong, xc: jax.Array) -> jax.Array:
     )
 
 
+def _bp_restrict_strided(blocks: jax.Array, rf: jax.Array) -> jax.Array:
+    out = None
+    for j in range(blocks.shape[0]):
+        rj = rf[:, j :: blocks.shape[0]]  # (bs_f, n_c)
+        oj = jnp.einsum("ibn,in->bn", blocks[j], rj)
+        out = oj if out is None else out + oj
+    return out
+
+
 def bp_restrict(l: BlockProlong, rf: jax.Array) -> jax.Array:
     """``L^T rf``: ``(bs_f, r * n_c) -> (bs_c, n_c)`` (strided lane slices per
     offset — the adjoint of :func:`bp_prolong`'s interior padding; same
-    no-(…, n_c, r)-intermediate rationale)."""
-    out = None
-    for j in range(l.r):
-        rj = rf[:, j :: l.r]  # (bs_f, n_c)
-        oj = jnp.einsum("ibn,in->bn", l.blocks[j], rj)
-        out = oj if out is None else out + oj
-    return out
+    no-(…, n_c, r)-intermediate rationale).
+
+    Above ``_PROLONG_CHUNK`` coarse columns the strided extraction runs over
+    serialized chunks, each started from a contiguous ``dynamic_slice`` copy:
+    fusing the lane-strided slices directly with a large producer (e.g. the
+    Pallas float-float defect) makes XLA emit a pathological gather kernel —
+    measured 719 ms for one restrict of a kernel output at the 1e8-DoF north
+    star vs ~220 ms chunked (and ~2 ms from a plain parameter).  Values are
+    bit-identical (chunk boundaries are multiples of ``r``)."""
+    r = l.r
+    bs_c = l.blocks.shape[2]
+    n_c = rf.shape[-1] // r
+    if n_c <= _PROLONG_CHUNK:
+        return _bp_restrict_strided(l.blocks, rf)
+    chunks = 2
+    while n_c % chunks == 0 and n_c // chunks > _PROLONG_CHUNK:
+        chunks *= 2
+    if n_c % chunks:
+        return _bp_restrict_strided(l.blocks, rf)
+    m = n_c // chunks
+
+    def body(c, out):
+        rfc = jax.lax.dynamic_slice(rf, (0, c * (r * m)), (rf.shape[0], r * m))
+        blc = jax.lax.dynamic_slice(
+            l.blocks, (0, 0, 0, c * m), (r, l.blocks.shape[1], bs_c, m)
+        )
+        return jax.lax.dynamic_update_slice(
+            out, _bp_restrict_strided(blc, rfc), (0, c * m)
+        )
+
+    return jax.lax.fori_loop(
+        0, chunks, body, jnp.zeros((bs_c, n_c), rf.dtype)
+    )
 
 
 def _sandwich(ba: jax.Array, m: jax.Array, bb: jax.Array) -> jax.Array:
