@@ -7,9 +7,12 @@ the same sweep executed with vectorized host NumPy in f64 (the closest stand-in
 for the reference's serial-CPU f64 execution model; the reference itself
 publishes no numbers).
 
-Also reported: XLA f32 / f64 sweep throughput, and the mixed-precision
-(f32 V-cycle + f64 defect correction) full multigrid solve to 1e-10 relative
-residual on a multi-million-DoF DG + agglomeration hierarchy.
+Also reported: XLA f32 / f64 sweep throughput, the mixed-precision
+(f32 V-cycle + f64 defect correction) full multigrid solves to 1e-10 relative
+residual (flagship CG-topped at 131k DoF, DG chain at 2.1M DoF), and the
+north-star stage: stencil-inflated setup, fused sweeps, and the
+TRUE-precision progressive solve to 1e-8 at 1.007e8 DoF on one chip
+(xl_solve_s / xl_solve_rel_res / xl_solve_max_dof).
 
 Set AGGMG_BENCH_SMALL=1 for a quick smoke run.
 """
