@@ -29,6 +29,7 @@ from .solvers import (
     mg_preconditioner,
     multigrid,
     multigrid_progressive,
+    multigrid_true,
     transfer_prolong,
     transfer_restrict,
     v_cycle,

@@ -1817,3 +1817,57 @@ def multigrid_mixed(
         err_history=jnp.asarray(err_h),
         inner_cycles=jnp.array(cycles),
     )
+
+
+def multigrid_true(
+    h_low: Hierarchy,
+    ffops,
+    b_ff,
+    norm_b: float,
+    maxiter: int = 40,
+    tol: float = 1e-8,
+    *,
+    x0_ff=None,
+    n_pre: int = 3,
+    n_post: int = 3,
+    alpha: float = 2.0 / 3.0,
+    pallas_min_blocks: int = 1 << 22,
+) -> MultigridResult:
+    """TRUE-precision progressive multigrid (public wrapper around
+    :func:`_progressive_true_eager`) with the reference's observability
+    contract (``src/solvers.jl:116-139``): ``iterations`` counts V-cycles and
+    ``res_history[:iterations]`` is the per-cycle relative-residual-times-
+    ``norm_b`` history from the f64-accurate outer defect.
+
+    The north-star solver: converges like all-f64 multigrid on operators
+    where ``eps_f32 * kappa_elem(A) > 1`` (see the section comment above
+    :func:`_smooth_true`) at ~4x the f32 cycle cost.  Inputs come from
+    ``stencil_setup.build_xl_problem(..., ff_levels=True)``:
+
+        h_low, ffops, b_ff, norm_b = build_xl_problem(spec, n, ff_levels=True)
+        res = multigrid_true(h_low, ffops, b_ff, norm_b)
+
+    ``pallas_min_blocks`` sets the split-program cut: every level with at
+    least that many blocks runs as its own per-level programs (the compile-
+    unit shape that fits the remote toolchain at 1e8 DoF).
+    """
+    from ..ops.df64 import FF, ff_join
+
+    if x0_ff is None:
+        zero = jnp.zeros_like(b_ff.hi)
+        x0_ff = FF(zero, zero)
+    cut = sum(
+        1 for lv in h_low.levels[:-1]
+        if isinstance(lv, BlockLevel) and lv.a.n_blocks >= pallas_min_blocks
+    )
+    x_ff, it, res_h = _progressive_true_eager(
+        h_low, ffops, x0_ff, b_ff, jnp.asarray(1.0 / norm_b, jnp.float32),
+        maxiter=maxiter, tol=tol, cut=cut, n_pre=n_pre, n_post=n_post, alpha=alpha,
+    )
+    return MultigridResult(
+        x=ff_join(x_ff),
+        iterations=jnp.array(it),
+        res_history=jnp.asarray(res_h * norm_b),
+        err_history=jnp.asarray(np.full((maxiter,), np.nan)),
+        inner_cycles=jnp.array(it),
+    )

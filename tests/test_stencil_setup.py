@@ -380,3 +380,27 @@ def test_eager_outer_matches_fused():
     assert "TRUE_KAPPA_OK" in proc.stdout
     assert "MIXED_HANDOVER_OK" in proc.stdout
     assert "EAGER_PARITY_OK" in proc.stdout
+
+
+def test_multigrid_true_public_wrapper():
+    """`models.multigrid_true` (the public north-star entry) converges below
+    the float-float floor on a conditioning-matched problem and preserves the
+    reference observability contract."""
+    from agglomerationmultigrid1d_tpu.models import multigrid_true
+
+    n = 16384
+    spec = HierarchySpec(
+        cg_orders=(), dg_orders=(1,), n_agg_levels=4, p_agg=1, agg_factor=4,
+        c_dir=1000.0 * float(3 << 24) ** 2 / n,  # eps32 * kappa_elem ~ 6
+    )
+    h32, ffops, b_ff, norm_b = build_xl_problem(
+        spec, n, slim_fine=True, ff_levels=True
+    )
+    res = multigrid_true(
+        h32, ffops, b_ff, norm_b, maxiter=25, tol=1e-10, pallas_min_blocks=8192
+    )
+    it = int(res.iterations)
+    hist = np.asarray(res.res_history)
+    assert hist[it - 1] < 1e-10 * norm_b
+    assert np.isnan(hist[it:]).all()
+    assert res.x.dtype == jnp.float64
