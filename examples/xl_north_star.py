@@ -32,9 +32,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from agglomerationmultigrid1d_tpu.models.solvers import _progressive_true_eager
+from agglomerationmultigrid1d_tpu.models import multigrid_true
 from agglomerationmultigrid1d_tpu.models.stencil_setup import build_xl_problem
-from agglomerationmultigrid1d_tpu.ops.df64 import FF
 from agglomerationmultigrid1d_tpu.utils.config import HierarchySpec
 
 
@@ -55,18 +54,14 @@ def main() -> None:
     print(f"setup: {time.time() - t0:.1f}s for {2 * n_el:.3g} DoF, "
           f"{h32.n_levels} levels")
 
-    cut = sum(1 for lv in h32.levels[:-1] if lv.a.n_blocks >= (1 << 22))
-    zero = jnp.zeros_like(b_ff.hi)
     t0 = time.time()
-    x, it, hist = _progressive_true_eager(
-        h32, ffops, FF(zero, zero), b_ff, jnp.asarray(1.0 / norm_b, jnp.float32),
-        maxiter=40, tol=tol, cut=cut,
-    )
+    res = multigrid_true(h32, ffops, b_ff, norm_b, maxiter=40, tol=tol)
+    it = int(res.iterations)
+    hist = np.asarray(res.res_history)[:it] / norm_b
     print(f"solve: {time.time() - t0:.1f}s (includes compiles on first run), "
           f"{it} true-precision cycles")
-    print("relative residual history:",
-          " ".join(f"{v:.1e}" for v in hist[:it]))
-    assert hist[it - 1] < tol
+    print("relative residual history:", " ".join(f"{v:.1e}" for v in hist))
+    assert hist[-1] < tol
 
 
 if __name__ == "__main__":
